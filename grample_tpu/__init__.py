@@ -1,0 +1,30 @@
+"""grample_tpu — a TPU-native framework for discrete PGM marginal inference.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+CraigKelly/grample (adaptive Rao-Blackwellised Gibbs sampling for the UAI
+"MAR" task, AISTATS 2019 "kelly19a").  Where the reference runs one
+sequential random-scan chain per CPU goroutine, this framework runs
+thousands of vectorized chains per TPU chip using chromatic (graph-colored)
+parallel Gibbs over dense HBM/VMEM-resident factor tables, samples with
+Gumbel-max in log space, and shards chains over a `jax.sharding.Mesh`.
+
+Layer map (bottom-up), mirroring the reference layer map (SURVEY.md §1):
+
+  - ``grample_tpu.uai``      — UAI file format I/O (reference: model/uai.go)
+  - ``grample_tpu.pgm``      — model core: variables/factors/validation,
+                               dense tensor encoding, graph coloring
+                               (reference: model/*.go)
+  - ``grample_tpu.metrics``  — error suite + PSRF convergence
+                               (reference: model/error.go, sampler/chain.go)
+  - ``grample_tpu.ops``      — the compute path: XLA + Pallas Gibbs sweeps
+                               (reference: sampler/gibbs-simple.go hot loop)
+  - ``grample_tpu.sampler``  — chain runtime, collapse engine, adaptive
+                               controller (reference: sampler/*.go)
+  - ``grample_tpu.parallel`` — mesh/sharding/collectives (reference:
+                               goroutines + WaitGroup, §2 parallelism table)
+  - ``grample_tpu.cli``      — CLI + orchestration (reference: cmd/*.go)
+"""
+
+__version__ = "0.1.0"
+
+from grample_tpu.pgm.discrete import DiscreteModel, Factor  # noqa: F401

@@ -1,0 +1,146 @@
+"""Gibbs sweep correctness: exact logits, statistical convergence.
+
+Statistical assertions follow the reference's style (sampler_test.go:123)
+— tolerances chosen so false failures are astronomically unlikely.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from grample_tpu.metrics import hellinger
+from grample_tpu.ops.gibbs_xla import advance_chains, init_state, _conditional_logits
+from grample_tpu.pgm.discrete import DiscreteModel, Factor, LOG_EPS
+from grample_tpu.pgm.encode import encode_model, stack_variants
+from grample_tpu.pgm.exact import exact_marginals
+from grample_tpu.uai import load_model
+
+from conftest import res_path
+
+
+def rand_model(rng, v=6, max_card=3, n_factors=7, max_scope=3):
+    cards = rng.integers(2, max_card + 1, size=v)
+    factors = []
+    touched = set()
+    for i in range(n_factors):
+        size = int(rng.integers(1, max_scope + 1))
+        scope = rng.choice(v, size=size, replace=False)
+        touched.update(int(s) for s in scope)
+        table = rng.random(int(np.prod(cards[scope])))
+        factors.append(Factor(f"func-{i}", scope, table))
+    # every var must appear in some factor (reference NewGibbsSimple rule)
+    nf = n_factors
+    for u in range(v):
+        if u not in touched:
+            factors.append(Factor(f"func-{nf}", np.array([u]), rng.random(int(cards[u]))))
+            nf += 1
+    return DiscreteModel(type="MARKOV", cards=cards, factors=factors)
+
+
+def brute_logits(m, state_row, var):
+    """Log-conditional of `var` by direct factor evaluation (host loop)."""
+    out = np.zeros(int(m.cards[var]))
+    for f in m.factors:
+        if var not in f.scope:
+            continue
+        t = np.log(np.where(f.table < LOG_EPS, f.table + LOG_EPS, f.table))
+        strides = f.strides(m.cards)
+        for k in range(int(m.cards[var])):
+            vals = [k if int(u) == var else state_row[int(u)] for u in f.scope]
+            out[k] += t[int(np.dot(strides, vals))]
+    return out
+
+
+def test_conditional_logits_match_bruteforce(rng):
+    m = rand_model(rng)
+    enc = encode_model(m)
+    stack = {k: jnp.asarray(val) for k, val in enc.arrays().items()}
+    v1 = m.num_vars + 1
+    state = np.zeros((4, v1), dtype=np.int32)
+    for c in range(4):
+        state[c, :-1] = [rng.integers(0, int(k)) for k in m.cards]
+    vs = jnp.arange(m.num_vars, dtype=jnp.int32)
+    logits = np.asarray(
+        _conditional_logits(stack, jnp.asarray(state), vs, kdim=int(m.max_card))
+    )
+    for c in range(4):
+        for var in range(m.num_vars):
+            want = brute_logits(m, state[c], var)
+            got = logits[c, var, : int(m.cards[var])]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _run_chains(m, sweeps=600, chains=256, seed=0):
+    enc = encode_model(m)
+    stack = {k: jnp.asarray(v) for k, v in stack_variants([enc]).items()}
+    key = jax.random.key(seed)
+    v1 = m.num_vars + 1
+    kdim = m.max_card
+    state = init_state(stack, key, chains, kdim)
+    halves = jnp.zeros((1, 2, chains, v1, kdim), dtype=jnp.float32)
+    # burn-in without counting
+    state, halves = advance_chains(
+        stack, state, halves, jax.random.fold_in(key, 1), 50, 25, count=False
+    )
+    state, halves = advance_chains(
+        stack, state, halves, jax.random.fold_in(key, 2), sweeps, sweeps // 2
+    )
+    counts = np.asarray(halves.sum(axis=(1, 2)))[0]  # [V+1, K]
+    return counts[:-1]
+
+
+def test_one_uai_marginal():
+    """Single binary var with P=[0.25,0.75]: counts must converge there."""
+    m = load_model(res_path("one.uai"))
+    counts = _run_chains(m, sweeps=400, chains=512)
+    p = counts[0] / counts[0].sum()
+    # 400*512 ≈ 200k draws: 5 sigma ≈ 0.005
+    assert abs(p[1] - 0.75) < 0.01
+    assert counts[0].sum() == 400 * 512
+
+
+def test_small_model_vs_exact(rng):
+    m = rand_model(rng, v=5, max_card=3, n_factors=6)
+    truth = exact_marginals(m)
+    counts = _run_chains(m, sweeps=1500, chains=512, seed=3)
+    est = counts / counts.sum(axis=1, keepdims=True)
+    h = hellinger(est, truth, m.cards)
+    assert h.max() < 0.02, f"hellinger {h}"
+
+
+def test_evidence_respected(rng):
+    m = rand_model(rng, v=5, max_card=3, n_factors=6)
+    m.apply_evidence({2: 1})
+    truth = exact_marginals(m)
+    counts = _run_chains(m, sweeps=1500, chains=512, seed=4)
+    # fixed var never counted
+    assert counts[2].sum() == 0
+    free = m.free_mask
+    est = counts / np.maximum(counts.sum(axis=1, keepdims=True), 1e-12)
+    h = hellinger(est[free], truth[free], m.cards[free])
+    assert h.max() < 0.025, f"hellinger {h}"
+
+
+def test_determinism():
+    m = load_model(res_path("deterministic.uai"))
+    a = _run_chains(m, sweeps=50, chains=64, seed=7)
+    b = _run_chains(m, sweeps=50, chains=64, seed=7)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_deterministic_uai_marginals():
+    """deterministic.uai: 0.5/0.5 marginals for every var.
+
+    This model is near-reducible (A=B with the off states floored at
+    1e-6), so each chain freezes into the mode set by its uniform init
+    and the estimate is a Binomial(chains, 0.5) mean over chains: with
+    4096 chains, 5 sigma = 0.039.  The multi-chain ensemble is what makes
+    the estimator correct here — exactly why the reference insists on
+    >= 2 chains.
+    """
+    m = load_model(res_path("deterministic.uai"))
+    counts = _run_chains(m, sweeps=200, chains=4096, seed=9)
+    est = counts / counts.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(est[:, 0], 0.5, atol=0.04)
