@@ -1,0 +1,316 @@
+"""Chain runtime: batched chains over stacked collapse variants.
+
+The reference's ``Chain`` owns one model clone + sampler + ring-buffer
+history and advances in its own goroutine (``sampler/chain.go``).  Here
+the unit of parallelism is inverted for the TPU: ONE device program
+advances every chain of every model variant at once —
+
+  - variant slot axis  [N]: distinct factor graphs (base model, plus one
+    slot per adaptively collapsed variable — the reference's "chain"),
+  - micro-chain axis   [C]: independent chains per variant (the
+    vectorization the reference lacks entirely),
+
+with state ``[N, C, V+1]`` and split-half window counts ``[N, 2, C,
+V+1, K]`` resident on device.  Slot capacity grows in powers of two so
+recompiles happen O(log MaxChains) times per run, never per adapt step.
+
+``MergeChains`` (``chain.go:96-148``) becomes a host-side reduction of
+per-slot count totals, with the reference's exact semantics: a variable
+collapsed in ANY variant uses that variant's exact (Rao-Blackwellised)
+marginal outright; every chain contributes its uniform-initialized
+marginal (1/card per entry) plus its counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grample_tpu.metrics.psrf import chain_convergence
+from grample_tpu.ops.gibbs_xla import advance_chains
+from grample_tpu.pgm.discrete import DiscreteModel
+from grample_tpu.pgm.encode import EncodeCaps, EncodedModel, compute_caps, encode_model, stack_variants
+
+MAX_VARIANTS = 128  # reference ConvergenceSampler.MaxChains (adaptive.go:49)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
+    return EncodeCaps(
+        num_vars=a.num_vars,
+        max_card=max(a.max_card, b.max_card),
+        adj_cap=max(a.adj_cap, b.adj_cap),
+        scope_cap=max(a.scope_cap, b.scope_cap),
+        table_cap=max(a.table_cap, b.table_cap),
+        color_cap=max(a.color_cap, b.color_cap),
+        group_cap=max(a.group_cap, b.group_cap),
+    )
+
+
+class ChainGroup:
+    """All chains of a run: stacked variants × micro-chains on device."""
+
+    def __init__(
+        self,
+        base_model: DiscreteModel,
+        chains_per_variant: int,
+        converge_window: int,
+        seed: int = 0,
+        caps: Optional[EncodeCaps] = None,
+        group_cap: int = 0,
+        max_variants: int = MAX_VARIANTS,
+    ):
+        base_model.check()
+        self.base = base_model
+        self.cpv = int(chains_per_variant)
+        self.cw = int(converge_window)
+        self.max_variants = max_variants
+        self.caps = caps or compute_caps(base_model, group_cap=group_cap)
+        self.key = jax.random.key(seed)
+        self._step = 0
+
+        self.variants: List[DiscreteModel] = []
+        self.encs: List[EncodedModel] = []
+        self.slot_cap = 0
+        self.stack = None  # device dict [Ncap, ...]
+        self.state = None  # [Ncap, C, V+1] int32
+        self.halves = None  # [Ncap, 2, C, V+1, K] float32
+        self.totals: Optional[np.ndarray] = None  # host f64 [Ncap, V+1, K]
+        self.total_samples = 0  # counted site updates across all chains
+        self.total_sweeps = 0
+
+    # ---- capacity management --------------------------------------------
+    @property
+    def num_variants(self) -> int:
+        return len(self.variants)
+
+    @property
+    def num_chains(self) -> int:
+        return self.num_variants * self.cpv
+
+    @property
+    def v1(self) -> int:
+        return self.caps.num_vars + 1
+
+    @property
+    def kdim(self) -> int:
+        return self.caps.max_card
+
+    def _next_key(self):
+        self._step += 1
+        return jax.random.fold_in(self.key, self._step)
+
+    def _encode(self, model: DiscreteModel) -> EncodedModel:
+        """Encode against shared caps, growing caps (and re-encoding all
+        existing variants) if the new variant doesn't fit."""
+        try:
+            return encode_model(model, self.caps)
+        except ValueError:
+            grown = _merge_caps(self.caps, compute_caps(model))
+            self.caps = grown
+            self.encs = [encode_model(mv, grown) for mv in self.variants]
+            self._restack()
+            return encode_model(model, grown)
+
+    def _host_init_state(
+        self, enc: EncodedModel, warm_marginals: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Initial [C, V+1] states on the host (no device compile).
+
+        Free vars uniform (or drawn from ``warm_marginals`` [V(+1), K] —
+        the warm restart for adaptively added chains); evidence pinned.
+        """
+        rng = np.random.default_rng(self._step * 7919 + 13)
+        self._step += 1
+        cards = np.asarray(enc.cards, dtype=np.int64)  # [V+1]
+        v1 = cards.size
+        if warm_marginals is None:
+            u = rng.random((self.cpv, v1))
+            draw = np.floor(u * cards[None, :]).astype(np.int32)
+        else:
+            k = self.kdim
+            probs = np.zeros((v1, k), dtype=np.float64)
+            probs[: warm_marginals.shape[0], : warm_marginals.shape[1]] = warm_marginals
+            valid = np.arange(k)[None, :] < cards[:, None]
+            probs = np.where(valid, np.maximum(probs, 1e-12), 0.0)
+            probs /= probs.sum(axis=1, keepdims=True)
+            cdf = np.cumsum(probs, axis=1)  # [V+1, K]
+            u = rng.random((self.cpv, v1, 1))
+            draw = (u > cdf[None]).sum(axis=2).astype(np.int32)
+            draw = np.minimum(draw, (cards - 1)[None, :]).astype(np.int32)
+        fixedv = np.asarray(enc.fixed, dtype=np.int32)
+        return np.where(fixedv[None, :] >= 0, fixedv[None, :], draw)
+
+    def reserve(self, n_slots: int):
+        """Pre-size slot capacity to avoid intermediate restacks/compiles."""
+        cap = _next_pow2(max(1, n_slots))
+        if cap > self.slot_cap:
+            self._restack(cap)
+
+    def _restack(self, new_slot_cap: Optional[int] = None):
+        """Rebuild stacked device arrays, preserving live slot state."""
+        if new_slot_cap is not None:
+            self.slot_cap = new_slot_cap
+        if self.slot_cap == 0:
+            return
+        base_enc = self.encs[0] if self.encs else encode_model(self.base, self.caps)
+        padded = list(self.encs) + [base_enc] * (self.slot_cap - len(self.encs))
+        stack_np = stack_variants(padded[: self.slot_cap])
+        self.stack = {k: jnp.asarray(v) for k, v in stack_np.items()}
+
+        old = None if self.state is None else np.asarray(self.state)
+        new_state = np.stack(
+            [
+                self._host_init_state(padded[i])
+                for i in range(self.slot_cap)
+            ]
+        )
+        if old is not None:
+            n = min(old.shape[0], self.slot_cap)
+            new_state[:n, :, :] = old[:n, :, :]
+        self.state = jnp.asarray(new_state)
+        self.halves = jnp.zeros(
+            (self.slot_cap, 2, self.cpv, self.v1, self.kdim), dtype=jnp.float32
+        )
+        old_tot = self.totals
+        self.totals = np.zeros((self.slot_cap, self.v1, self.kdim), dtype=np.float64)
+        if old_tot is not None:
+            n = min(old_tot.shape[0], self.slot_cap)
+            self.totals[:n, :, : old_tot.shape[2]] = old_tot[:n]
+
+    def add_variant(
+        self,
+        model: DiscreteModel,
+        burn_sweeps: int = 0,
+        warm_marginals: Optional[np.ndarray] = None,
+    ) -> int:
+        """Add a model variant (a logical chain); returns its slot index.
+
+        ``warm_marginals`` [V, K] draws the slot's initial states from the
+        current merged estimate — the reference's warm restart for
+        adaptively added chains; otherwise uniform init.  ``burn_sweeps``
+        runs uncounted sweeps afterwards (reference burnIn).
+        """
+        if self.num_variants >= self.max_variants:
+            raise RuntimeError(f"variant limit {self.max_variants} reached")
+        enc = self._encode(model)
+        slot = len(self.variants)
+        self.variants.append(model)
+        self.encs.append(enc)
+        if slot >= self.slot_cap:
+            self._restack(_next_pow2(slot + 1))
+        else:
+            # refresh the one changed slot on device
+            arrays = enc.arrays()
+            self.stack = {
+                k: self.stack[k].at[slot].set(jnp.asarray(v))
+                for k, v in arrays.items()
+            }
+        # (re)initialize this slot's chains on the host
+        st = self._host_init_state(enc, warm_marginals)
+        self.state = self.state.at[slot].set(jnp.asarray(st))
+        self.totals[slot] = 0.0
+        if burn_sweeps > 0:
+            self.burn(burn_sweeps)
+        return slot
+
+    # ---- advancing -------------------------------------------------------
+    def _chain_mask(self) -> np.ndarray:
+        m = np.zeros(self.slot_cap, dtype=bool)
+        m[: self.num_variants] = True
+        return m
+
+    def burn(self, sweeps: int):
+        """Uncounted sweeps for all chains (burn-in)."""
+        if sweeps <= 0 or self.slot_cap == 0:
+            return
+        self.state, self.halves = advance_chains(
+            self.stack, self.state, self.halves, self._next_key(), int(sweeps),
+            int(sweeps), count=False,
+        )
+        self.total_sweeps += sweeps
+
+    def advance(self, sweeps: Optional[int] = None) -> int:
+        """Advance all chains one convergence window (counted).
+
+        Resets and refills the split-half window tensors, adds the window
+        counts into the running totals, and returns site updates taken.
+        """
+        sweeps = int(sweeps or self.cw)
+        self.halves = jnp.zeros_like(self.halves)
+        self.state, self.halves = advance_chains(
+            self.stack, self.state, self.halves, self._next_key(), sweeps,
+            sweeps // 2, count=True,
+        )
+        delta = np.asarray(self.halves.sum(axis=(1, 2)), dtype=np.float64)
+        active = self._chain_mask()
+        delta[~active] = 0.0
+        self.totals += delta
+        self.total_sweeps += sweeps
+        taken = int(delta.sum())
+        self.total_samples += taken
+        return taken
+
+    # ---- estimation ------------------------------------------------------
+    def collapsed_any(self) -> np.ndarray:
+        """[V] bool: collapsed in any active variant."""
+        v = self.caps.num_vars
+        out = np.zeros(v, dtype=bool)
+        for mv in self.variants:
+            out |= mv.collapsed[:v]
+        return out
+
+    def merged_marginals(self) -> np.ndarray:
+        """Merged (unnormalized) marginal estimate [V, K] float64.
+
+        Reference MergeChains semantics: per chain, marginal = uniform
+        1/card seed + counts; summed across chains; any-collapsed wins
+        with its exact marginal (first collapsing variant in slot order).
+        """
+        v, k = self.caps.num_vars, self.kdim
+        cards = self.base.cards
+        valid = np.arange(k)[None, :] < cards[:, None]
+        uniform = valid / np.maximum(cards[:, None], 1)
+        merged = self.num_chains * uniform + self.totals[: self.num_variants, :v].sum(axis=0)
+        # collapsed override in slot order, first-found wins (matches the
+        # reference's break-on-found in MergeChains)
+        seen = np.zeros(v, dtype=bool)
+        for mv in self.variants:
+            for var in np.nonzero(mv.collapsed[:v] & ~seen)[0]:
+                merged[var] = 0.0
+                merged[var, : mv.marginals.shape[1]] = mv.marginals[var]
+                seen[var] = True
+        return merged
+
+    def convergence(self, measure: str = "hellinger", merged: Optional[np.ndarray] = None) -> np.ndarray:
+        """Per-variable PSRF over all micro-chains. Returns [V] float."""
+        v = self.caps.num_vars
+        if merged is None:
+            merged = self.merged_marginals()
+        h = self.halves[:, :, :, :v, :]  # [Ncap, 2, C, V, K]
+        m_chains = self.slot_cap * self.cpv
+        h1 = h[:, 0].reshape(m_chains, v, self.kdim)
+        h2 = h[:, 1].reshape(m_chains, v, self.kdim)
+        cmask = np.repeat(self._chain_mask(), self.cpv)
+        converged = (self.base.fixed >= 0) | self.collapsed_any()
+        vals = chain_convergence(
+            h1,
+            h2,
+            jnp.asarray(merged, dtype=jnp.float32),
+            jnp.asarray(self.base.cards, dtype=jnp.int32),
+            jnp.asarray(converged),
+            jnp.asarray(cmask),
+            jnp.asarray(self.cw, dtype=jnp.float32),
+            measure=measure,
+        )
+        return np.asarray(vals, dtype=np.float64)

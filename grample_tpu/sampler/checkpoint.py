@@ -1,0 +1,114 @@
+"""Checkpoint / resume for chain runs.
+
+The reference has none (SURVEY.md §5 flags this as a genuine gap: runs
+die with the process).  TPU pod runs are preemptible, so the engine
+periodically snapshots everything needed to continue a run bit-exactly:
+chain states, split-half windows, count totals, the RNG step counter,
+and the collapse-variant models themselves (serialized structurally,
+not pickled, so checkpoints are portable and inspectable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Tuple
+
+import numpy as np
+
+from grample_tpu.pgm.discrete import DiscreteModel, Factor
+from grample_tpu.sampler.chains import ChainGroup
+
+FORMAT_VERSION = 1
+
+
+def _model_to_dict(m: DiscreteModel) -> dict:
+    return {
+        "type": m.type,
+        "name": m.name,
+        "cards": m.cards.tolist(),
+        "fixed": m.fixed.tolist(),
+        "collapsed": m.collapsed.tolist(),
+        "marginals": m.marginals.tolist(),
+        "factors": [
+            {
+                "name": f.name,
+                "scope": f.scope.tolist(),
+                "table": f.table.tolist(),
+                "is_log": f.is_log,
+            }
+            for f in m.factors
+        ],
+    }
+
+
+def _model_from_dict(d: dict) -> DiscreteModel:
+    return DiscreteModel(
+        type=d["type"],
+        name=d["name"],
+        cards=np.array(d["cards"], dtype=np.int64),
+        fixed=np.array(d["fixed"], dtype=np.int64),
+        collapsed=np.array(d["collapsed"], dtype=bool),
+        marginals=np.array(d["marginals"], dtype=np.float64),
+        factors=[
+            Factor(f["name"], np.array(f["scope"]), np.array(f["table"]), f["is_log"])
+            for f in d["factors"]
+        ],
+    )
+
+
+def save_checkpoint(path: str, group: ChainGroup, cfg=None) -> None:
+    """Atomic snapshot (tmp file + rename)."""
+    meta = {
+        "version": FORMAT_VERSION,
+        "cpv": group.cpv,
+        "cw": group.cw,
+        "step": group._step,
+        "total_samples": group.total_samples,
+        "total_sweeps": group.total_sweeps,
+        "variants": [_model_to_dict(m) for m in group.variants],
+        "config": None if cfg is None else _cfg_dict(cfg),
+    }
+    arrays = {
+        "state": np.asarray(group.state),
+        "halves": np.asarray(group.halves),
+        "totals": group.totals,
+    }
+    fd, tmp = tempfile.mkstemp(
+        suffix=".npz", dir=os.path.dirname(os.path.abspath(path)) or "."
+    )
+    os.close(fd)
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, meta=json.dumps(meta), **arrays)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, base_model: DiscreteModel) -> Tuple[ChainGroup, dict]:
+    """Rebuild a ChainGroup from a snapshot. Returns (group, meta)."""
+    import jax.numpy as jnp
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["meta"]))
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} unsupported")
+    group = ChainGroup(
+        base_model,
+        chains_per_variant=meta["cpv"],
+        converge_window=meta["cw"],
+    )
+    for mv in meta["variants"]:
+        group.add_variant(_model_from_dict(mv))
+    group.state = jnp.asarray(data["state"])
+    group.halves = jnp.asarray(data["halves"])
+    group.totals = np.array(data["totals"], dtype=np.float64)
+    group._step = meta["step"]
+    group.total_samples = meta["total_samples"]
+    group.total_sweeps = meta["total_sweeps"]
+    return group, meta
+
+
+def _cfg_dict(cfg) -> dict:
+    import dataclasses
+
+    return dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else dict(cfg)

@@ -1,0 +1,369 @@
+"""Run orchestration: the ``modelMarginals`` equivalent.
+
+Drives a full marginal-estimation run (reference ``cmd/root.go:309-719``):
+load model + evidence + solutions, build the chain group, burn in, then
+loop advance → score → adapt under time/iteration budgets, and emit the
+final report, trace records, and MAR output.
+
+Reference flag units are single-site samples; the TPU engine works in
+*sweeps* (one sweep resamples every free variable once).  Conversions:
+``burnin`` samples ≈ ``burnin / V`` sweeps, matching the reference
+default burnin = 2000·V  →  2000 sweeps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from grample_tpu.metrics import ErrorSuite, error_suite
+from grample_tpu.metrics.divergences import pad_marginals
+from grample_tpu.pgm.discrete import DiscreteModel, norm_marginals
+from grample_tpu.sampler.adaptive import adapt_step
+from grample_tpu.sampler.chains import MAX_VARIANTS, ChainGroup
+from grample_tpu.sampler.collapse import collapse_var, pick_random_collapsible
+from grample_tpu.uai import load_model, read_mar_file
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    model_path: str
+    use_evidence: bool = False
+    use_solution: bool = False
+    sampler: str = "simple"  # simple | collapsed | adaptive
+    burnin: int = -1  # single-site samples; <0 → 2000·V (2000 sweeps)
+    converge_window: int = 0  # single-site samples; <=0 → burnin
+    chains: int = 0  # logical chains (variant slots); <=0 → 2
+    chains_per_variant: int = 64  # micro-chains per slot (TPU vectorization)
+    chain_adds: int = 1  # new chains per adapt step (adaptive only)
+    max_iters: int = 0  # site updates; 0 = unlimited
+    max_secs: float = 300.0
+    seed: int = 0  # <1 → wall clock
+    measure: str = "hellinger"
+    adapt_policy: str = "worst"  # worst | ref-tail
+    warm_start: bool = True
+    trace_path: str = ""
+    experiment: bool = False
+    verbose: bool = False
+    status_secs: float = 5.0
+    mar_out: str = ""  # write final MAR solution here
+    checkpoint_path: str = ""
+    checkpoint_secs: float = 60.0
+    resume: bool = False
+    max_variants: int = MAX_VARIANTS
+
+    def resolve_seed(self) -> int:
+        if self.seed >= 1:
+            return self.seed
+        t = time.localtime()
+        return int(t.tm_sec + t.tm_min + time.time_ns() % 1_000_000_007)
+
+
+@dataclasses.dataclass
+class RunResult:
+    marginals: np.ndarray  # [V, K] normalized final estimate
+    model: DiscreteModel
+    samples: int
+    sweeps: int
+    runtime: float
+    chains: int
+    variants: int
+    collapsed: List[int]
+    final_score: Optional[ErrorSuite] = None
+    merlin_score: Optional[ErrorSuite] = None
+    score_vs_merlin: Optional[ErrorSuite] = None
+    convergence: Optional[Dict[str, np.ndarray]] = None
+    samples_per_sec: float = 0.0
+
+
+class Engine:
+    """One marginal-estimation run."""
+
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        log: Callable[[str], None] = print,
+        monitor=None,
+    ):
+        self.cfg = cfg
+        self.log = log
+        self.monitor = monitor
+        self.trace_fh = None
+        if cfg.trace_path:
+            self.trace_fh = open(cfg.trace_path, "w")
+        if cfg.experiment and not cfg.trace_path:
+            raise ValueError("experiment mode requires a trace file")
+
+    def trace(self, line: str):
+        if self.trace_fh:
+            self.trace_fh.write(line + "\n")
+            self.trace_fh.flush()
+
+    # ------------------------------------------------------------------
+    def run(self) -> RunResult:
+        cfg = self.cfg
+        t_start = time.time()
+
+        self.log(f"Reading model from {cfg.model_path}")
+        model = load_model(cfg.model_path, use_evidence=cfg.use_evidence)
+        v = model.num_vars
+        self.log(f"Model has {v} vars and {len(model.factors)} functions")
+
+        solution = None
+        merlin = None
+        if cfg.use_solution:
+            sol_path = cfg.model_path + ".MAR"
+            solution = pad_marginals(read_mar_file(sol_path), model.cards)
+            start = error_suite(model.marginals, solution, model.cards, model.fixed, None)
+            self.log(f"START {start}")
+            mer_path = cfg.model_path + ".merlin.MAR"
+            if os.path.exists(mer_path):
+                merlin = pad_marginals(read_mar_file(mer_path), model.cards)
+
+        # ---- derived defaults (reference cmd/root.go:344-363) ----------
+        seed = cfg.resolve_seed()
+        burn_sweeps = 2000 if cfg.burnin < 0 else max(0, math.ceil(cfg.burnin / v))
+        cw_sweeps = (
+            burn_sweeps if cfg.converge_window <= 0
+            else max(2, math.ceil(cfg.converge_window / v))
+        )
+        cw_sweeps = max(2, cw_sweeps)
+        n_slots = cfg.chains if cfg.chains > 0 else 2
+        n_slots = max(2 if cfg.sampler == "adaptive" else 1, n_slots)
+        if cfg.sampler != "adaptive" and cfg.chain_adds != 1:
+            raise ValueError(f"sampler is not adaptive: chain_adds={cfg.chain_adds} makes no sense")
+
+        self.log(
+            f"sampler={cfg.sampler} seed={seed} burnin={burn_sweeps} sweeps "
+            f"cwin={cw_sweeps} sweeps chains={n_slots}x{cfg.chains_per_variant} "
+            f"maxsecs={cfg.max_secs} maxiters={cfg.max_iters}"
+        )
+
+        group = ChainGroup(
+            model,
+            chains_per_variant=cfg.chains_per_variant,
+            converge_window=cw_sweeps,
+            seed=seed,
+            max_variants=cfg.max_variants,
+        )
+
+        rng = np.random.default_rng(seed)
+        self.log(f"Creating chains and performing burn-in ({burn_sweeps} sweeps)")
+        group.reserve(n_slots)
+        for slot in range(n_slots):
+            if cfg.sampler == "simple" or cfg.sampler == "adaptive":
+                group.add_variant(model)
+            elif cfg.sampler == "collapsed":
+                var = pick_random_collapsible(model, rng)
+                if var is None:
+                    group.add_variant(model)
+                else:
+                    variant, exact = collapse_var(model, var)
+                    self.log(f" ... chain {slot + 1}: collapsed var {var} "
+                             f"marginal={np.round(exact, 4)}")
+                    group.add_variant(variant)
+            else:
+                raise ValueError(f"unknown sampler: {cfg.sampler}")
+        group.burn(burn_sweeps)
+
+        if self.monitor:
+            self.monitor.update(
+                burnin=burn_sweeps, cwin=cw_sweeps, chains=group.num_chains,
+                variants=group.num_variants, maxsecs=cfg.max_secs,
+            )
+
+        if cfg.experiment:
+            self.trace("// EXPERIMENT RESULTS")
+            self.trace("RunSecs, MaxHell, NegLogMaxHell, MaxJS, NegLogMaxJS, CollapseCount")
+
+        # ---- main loop --------------------------------------------------
+        stop_time = t_start + cfg.max_secs
+        next_status = t_start + cfg.status_secs / 2
+        no_adapt_time = t_start + cfg.max_secs / 2
+        next_checkpoint = t_start + cfg.checkpoint_secs
+        keep_adapting = cfg.sampler == "adaptive"
+        keep_working = True
+        score = None
+
+        while keep_working:
+            group.advance(cw_sweeps)
+            now = time.time()
+            if cfg.max_secs > 0 and now > stop_time:
+                keep_working = False
+            if cfg.max_iters > 0 and group.total_samples > cfg.max_iters:
+                keep_working = False
+
+            if now > next_status or not keep_working or cfg.experiment:
+                runtime = now - t_start
+                if now > next_status or not keep_working:
+                    rate = group.total_samples / max(runtime, 1e-9)
+                    self.log(
+                        f"  Samps: {group.total_samples:>14,d} | RT {runtime:10.2f}s"
+                        f" | {rate:,.0f} samples/s | chains {group.num_chains}"
+                    )
+                if solution is not None:
+                    merged = group.merged_marginals()
+                    score = error_suite(merged, solution, model.cards, model.fixed, None)
+                    if now > next_status or not keep_working:
+                        self.log(f"    {score}")
+                    if cfg.experiment:
+                        ncol = int(group.collapsed_any().sum())
+                        self.trace(
+                            f"{runtime:.1f}, {score.max_hellinger:.8f}, "
+                            f"{_neglog2(score.max_hellinger):.5f}, {score.max_js:.8f}, "
+                            f"{_neglog2(score.max_js):.5f}, {ncol}"
+                        )
+                if self.monitor:
+                    self.monitor.update(
+                        iterations=group.total_samples, runtime=now - t_start,
+                        chains=group.num_chains, variants=group.num_variants,
+                        **(_score_vars(score) if score else {}),
+                    )
+                if now > next_status:
+                    next_status = now + cfg.status_secs
+
+            if keep_adapting and now > no_adapt_time:
+                self.log("STOPPING ADAPTATION")
+                keep_adapting = False
+            if keep_working and keep_adapting:
+                added = adapt_step(
+                    group, cfg.chain_adds, measure=cfg.measure,
+                    policy=cfg.adapt_policy, warm_start=cfg.warm_start,
+                )
+                if added:
+                    self.log(
+                        f"ADAPT: {group.num_variants} chains "
+                        f"(+{len(added)}: collapsed vars {added})"
+                    )
+
+            if cfg.checkpoint_path and time.time() > next_checkpoint:
+                self.save_checkpoint(group)
+                next_checkpoint = time.time() + cfg.checkpoint_secs
+
+        # ---- final ------------------------------------------------------
+        runtime = time.time() - t_start
+        merged = group.merged_marginals()
+        final = norm_marginals(merged, model.cards)
+        self.log("DONE")
+
+        result = RunResult(
+            marginals=final,
+            model=model,
+            samples=group.total_samples,
+            sweeps=group.total_sweeps,
+            runtime=runtime,
+            chains=group.num_chains,
+            variants=group.num_variants,
+            collapsed=sorted(int(x) for x in np.nonzero(group.collapsed_any())[0]),
+            samples_per_sec=group.total_samples / max(runtime, 1e-9),
+        )
+
+        if solution is not None:
+            result.final_score = error_suite(final, solution, model.cards, model.fixed, None)
+            self.log(f"FINAL {result.final_score}")
+            if merlin is not None:
+                result.merlin_score = error_suite(merlin, solution, model.cards, model.fixed, None)
+                self.log(f"MERLIN SCORE {result.merlin_score}")
+                result.score_vs_merlin = error_suite(final, merlin, model.cards, model.fixed, None)
+                self.log(f"OUR SCORE USING MERLIN AS SOLUTION {result.score_vs_merlin}")
+
+        result.convergence = {
+            meas: group.convergence(measure=meas)
+            for meas in ("hellinger", "js", "maxabs", "meanabs")
+        }
+
+        self._final_trace(result, solution, merlin)
+
+        if cfg.mar_out:
+            from grample_tpu.uai.writer import write_mar
+
+            mars = [final[i, : model.cards[i]] for i in range(v)]
+            with open(cfg.mar_out, "w") as fh:
+                fh.write(write_mar(mars))
+            self.log(f"Wrote MAR solution to {cfg.mar_out}")
+
+        if self.trace_fh:
+            self.trace_fh.close()
+        return result
+
+    # ------------------------------------------------------------------
+    def _final_trace(self, result: RunResult, solution, merlin):
+        """Per-variable JSON trace records (reference cmd/root.go:656-716)."""
+        if not self.trace_fh:
+            return
+        model = result.model
+        conv = result.convergence
+
+        def var_record(i: int) -> dict:
+            card = int(model.cards[i])
+            rec = {
+                "ID": i,
+                "Name": model.var_name(i),
+                "Card": card,
+                "FixedVal": int(model.fixed[i]),
+                "Collapsed": bool(i in result.collapsed),
+                "Marginal": [float(x) for x in result.marginals[i, :card]],
+                "State": {
+                    "Hell-Convergence": float(conv["hellinger"][i]),
+                    "JS-Convergence": float(conv["js"][i]),
+                    "MaxAD-Convergence": float(conv["maxabs"][i]),
+                    "AvgAD-Convergence": float(conv["meanabs"][i]),
+                },
+            }
+            if solution is not None:
+                for c in range(card):
+                    rec["State"][f"SOL-MAR[{c}]"] = float(solution[i, c])
+            return rec
+
+        self.trace("// EVIDENCE")
+        for i in range(model.num_vars):
+            if model.fixed[i] >= 0:
+                self.trace(json.dumps(var_record(i)))
+        self.trace("// VARS (ESTIMATED)")
+        for i in range(model.num_vars):
+            if model.fixed[i] < 0:
+                self.trace(json.dumps(var_record(i)))
+        self.trace("// OPERATING PARAMS")
+        self.trace(json.dumps(dataclasses.asdict(self.cfg)))
+        self.trace("// RESULT SUMMARY")
+        self.trace(
+            json.dumps(
+                {
+                    "samples": result.samples,
+                    "sweeps": result.sweeps,
+                    "runtime": result.runtime,
+                    "chains": result.chains,
+                    "variants": result.variants,
+                    "collapsed": result.collapsed,
+                    "samples_per_sec": result.samples_per_sec,
+                    "final_score": result.final_score.as_dict() if result.final_score else None,
+                }
+            )
+        )
+
+    def save_checkpoint(self, group: ChainGroup):
+        from grample_tpu.sampler.checkpoint import save_checkpoint
+
+        save_checkpoint(self.cfg.checkpoint_path, group, self.cfg)
+        self.log(f"checkpoint -> {self.cfg.checkpoint_path}")
+
+
+def _neglog2(x: float) -> float:
+    return -math.log2(max(x, 1e-300))
+
+
+def _score_vars(score: ErrorSuite) -> dict:
+    return {
+        "mean_hellinger": score.mean_hellinger,
+        "max_hellinger": score.max_hellinger,
+        "mean_js": score.mean_js,
+        "max_js": score.max_js,
+    }
+
+

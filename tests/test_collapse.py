@@ -1,0 +1,142 @@
+"""Collapse engine tests (reference gibbs-collapsed_test.go semantics)."""
+
+import numpy as np
+import pytest
+
+from grample_tpu.pgm.discrete import DiscreteModel, Factor
+from grample_tpu.pgm.exact import exact_marginals
+from grample_tpu.sampler.collapse import (
+    CollapseError,
+    collapse_var,
+    collapsible_vars,
+    is_collapsible,
+    pick_random_collapsible,
+)
+from grample_tpu.uai import load_model
+
+from tests.conftest import res_path
+
+
+def test_deterministic_collapse_exact_half():
+    """Collapsing any var of deterministic.uai yields exactly 0.5/0.5
+    (reference gibbs-collapsed_test.go:30-47)."""
+    m = load_model(res_path("deterministic.uai"))
+    for var in range(m.num_vars):
+        _, exact = collapse_var(m, var)
+        np.testing.assert_allclose(exact, [0.5, 0.5], atol=1e-9)
+
+
+def test_collapse_matches_exact_when_incident_covers_model(rng):
+    """When every factor is incident to the collapsed var, the collapse
+    marginal equals the brute-force joint marginal."""
+    factors = [
+        Factor("f0", [0, 1], rng.random(4) + 0.1),
+        Factor("f1", [1, 2], rng.random(6) + 0.1),
+    ]
+    m = DiscreteModel(type="MARKOV", cards=[2, 2, 3], factors=factors)
+    truth = exact_marginals(m)
+    _, exact = collapse_var(m, 1)  # var 1 touches both factors
+    np.testing.assert_allclose(exact, truth[1, :2], rtol=1e-9, atol=1e-12)
+
+
+def test_collapse_incident_only_semantics(rng):
+    """The collapse marginal sums *incident* factors over the blanket —
+    reference semantics (gibbs-collapsed.go:206-260): non-incident
+    factors that couple blanket vars are deliberately excluded, so the
+    result generally differs from the full joint marginal."""
+    f0 = Factor("f0", [0, 1], rng.random(4) + 0.1)
+    f1 = Factor("f1", [1, 2], rng.random(6) + 0.1)
+    f2 = Factor("f2", [0, 2], rng.random(6) + 0.1)  # couples blanket, not var 1
+    m = DiscreteModel(type="MARKOV", cards=[2, 2, 3], factors=[f0, f1, f2])
+    _, exact = collapse_var(m, 1)
+    # reference-semantics brute force: sum_{a,c} f0[a,b] f1[b,c]
+    want = np.einsum("ab,bc->b", f0.table.reshape(2, 2), f1.table.reshape(2, 3))
+    want = want / want.sum()
+    np.testing.assert_allclose(exact, want, rtol=1e-9)
+    # ...and it differs from the joint marginal here (f2 breaks equality)
+    truth = exact_marginals(m)
+    assert np.abs(exact - truth[1, :2]).max() > 1e-3
+
+
+def test_collapse_respects_evidence(rng):
+    factors = [
+        Factor("f0", [0, 1], rng.random(4) + 0.1),
+        Factor("f1", [1, 2], rng.random(4) + 0.1),
+    ]
+    m = DiscreteModel(type="MARKOV", cards=[2, 2, 2], factors=factors)
+    m.apply_evidence({2: 1})
+    truth = exact_marginals(m)
+    _, exact = collapse_var(m, 1)
+    np.testing.assert_allclose(exact, truth[1, :2], rtol=1e-9)
+
+
+def test_collapse_graph_surgery():
+    """Factors touching the var vanish; a COLLAPSE-* factor appears over
+    blanket minus var (reference sample.uai bookkeeping test)."""
+    m = load_model(res_path("sample.uai"))
+    out, _ = collapse_var(m, 1)  # var B is in both pairwise factors
+    assert out.collapsed[1]
+    assert not any(1 in f.scope for f in out.factors[:-1])
+    post = out.factors[-1]
+    assert post.name == "COLLAPSE-B"
+    assert sorted(int(u) for u in post.scope) == [0, 2]
+    assert post.table.size == int(m.cards[0] * m.cards[2])
+    out.check()
+    # can't collapse the same variable twice
+    with pytest.raises(CollapseError):
+        collapse_var(out, 1)
+    # input model untouched
+    assert not m.collapsed.any()
+    assert len(m.factors) == 3
+
+
+def test_collapse_replacement_table_values(rng):
+    """Replacement factor table = sum over var of prod(incident factors)."""
+    f0 = Factor("f0", [0, 1], rng.random(4) + 0.1)
+    f1 = Factor("f1", [1, 2], rng.random(4) + 0.1)
+    m = DiscreteModel(type="MARKOV", cards=[2, 2, 2], factors=[f0, f1])
+    out, _ = collapse_var(m, 1)
+    post = out.factors[-1]
+    # post over scope [0, 2]: post[a,c] = sum_b f0[a,b] * f1[b,c]
+    want = np.einsum("ab,bc->ac", f0.table.reshape(2, 2), f1.table.reshape(2, 2))
+    np.testing.assert_allclose(post.table.reshape(2, 2), want, rtol=1e-9)
+
+
+def test_collapse_guards():
+    m = load_model(res_path("sample.uai"))
+    m.apply_evidence({0: 1})
+    with pytest.raises(CollapseError):
+        collapse_var(m, 0)  # fixed
+    # single-var model: blanket == {var}, no replacement factor possible
+    one = load_model(res_path("one.uai"))
+    with pytest.raises(CollapseError):
+        collapse_var(one, 0)
+    assert not is_collapsible(one, 0)
+
+
+def test_collapsible_vars_blanket_limit():
+    """Alchemy_11 has blankets up to 60: those vars must be excluded
+    (NeighborVarMax=12), matching the reference's per-variable gating."""
+    m = load_model(res_path("Alchemy_11.uai"), use_evidence=True)
+    cv = collapsible_vars(m)
+    blankets = m.blankets()
+    assert all(len(blankets[v]) <= 12 for v in cv)
+    assert len(cv) < m.num_vars
+
+
+def test_pick_random_collapsible(rng):
+    m = load_model(res_path("sample.uai"))
+    got = {pick_random_collapsible(m, np.random.default_rng(s)) for s in range(20)}
+    got.discard(None)
+    assert got  # finds something
+    assert all(is_collapsible(m, v) for v in got)
+
+
+def test_object_detection_table_cap():
+    """ObjectDetection card-16 blankets pass the var-count check but bust
+    the 2^23 table cap — is_collapsible must reject them up front."""
+    m = load_model(res_path("ObjectDetection_11.uai"), use_evidence=True)
+    for v in collapsible_vars(m):
+        out, _ = collapse_var(m, v)  # must not raise
+        out.check()
+        break

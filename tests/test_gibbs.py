@@ -17,7 +17,7 @@ from grample_tpu.pgm.encode import encode_model, stack_variants
 from grample_tpu.pgm.exact import exact_marginals
 from grample_tpu.uai import load_model
 
-from conftest import res_path
+from tests.conftest import res_path
 
 
 def rand_model(rng, v=6, max_card=3, n_factors=7, max_scope=3):

@@ -14,7 +14,7 @@ from grample_tpu.pgm.discrete import (
 )
 from grample_tpu.pgm.encode import compute_caps, encode_model, stack_variants
 
-from conftest import res_path
+from tests.conftest import res_path
 
 
 def make_vanilla():

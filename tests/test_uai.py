@@ -17,7 +17,7 @@ from grample_tpu.uai import (
 from grample_tpu.uai.parser import UAIParseError
 from grample_tpu.uai.writer import write_mar, write_model
 
-from conftest import RES_DIR, res_path
+from tests.conftest import RES_DIR, res_path
 
 # The PASCAL/PIC2011 documentation example (public format spec example):
 # 3 vars with cards 2,2,3; factors over {0}, {0,1}, {1,2}.
