@@ -94,7 +94,7 @@ HALVES_SPEC = P(VARIANT_AXIS, None, CHAIN_AXIS, None, None)  # [N, 2, C, V+1, K]
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "num_sweeps", "half_point", "count"),
+    static_argnames=("mesh", "count"),
     donate_argnums=(1, 2),
 )
 def sharded_advance(
@@ -103,8 +103,8 @@ def sharded_advance(
     halves,  # [N, 2, C, V+1, K] f32, sharded
     stack,  # enc dict, leading axis N sharded over "variants"
     key,
-    num_sweeps: int,
-    half_point: int,
+    num_sweeps,  # traced int scalar — one compile for every window size
+    half_point,
     count: bool = True,
 ):
     """One advance window over the mesh.
@@ -115,25 +115,22 @@ def sharded_advance(
     implicitly all-gathered to hosts when fetched).
     """
 
-    def body(state, halves, stack, key):
+    def body(state, halves, stack, key, num_sweeps, half_point):
         n_local = state.shape[0]
         keys = _global_fold(key, n_local)
-        fn = partial(
-            _advance_one,
-            num_sweeps=num_sweeps,
-            half_point=half_point,
-            count=count,
+        fn = partial(_advance_one, count=count)
+        state, halves = jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None))(
+            stack, state, halves, keys, num_sweeps, half_point
         )
-        state, halves = jax.vmap(fn)(stack, state, halves, keys)
         delta = lax.psum(halves.sum(axis=(1, 2)), CHAIN_AXIS)  # [n_local, V+1, K]
         return state, halves, delta
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(STATE_SPEC, HALVES_SPEC, ENC_SPEC, P()),
+        in_specs=(STATE_SPEC, HALVES_SPEC, ENC_SPEC, P(), P(), P()),
         out_specs=(STATE_SPEC, HALVES_SPEC, P(VARIANT_AXIS)),
-    )(state, halves, stack, key)
+    )(state, halves, stack, key, jnp.asarray(num_sweeps), jnp.asarray(half_point))
 
 
 @partial(jax.jit, static_argnames=("mesh", "measure"))

@@ -53,6 +53,8 @@ class EncodeCaps:
     table_cap: int  # T: flat table length
     color_cap: int  # NC: max chromatic groups
     group_cap: int  # G: max vars per group
+    oa_cap: int = 1  # OA: max "other assignments" of a factor seen from
+    #                  one scope var (table size / that var's card)
 
     def fits(self, other: "EncodeCaps") -> bool:
         return (
@@ -63,6 +65,7 @@ class EncodeCaps:
             and self.table_cap >= other.table_cap
             and self.color_cap >= other.color_cap
             and self.group_cap >= other.group_cap
+            and self.oa_cap >= other.oa_cap
         )
 
 
@@ -90,9 +93,32 @@ class EncodedModel:
     num_colors: int
     # Exact marginal for collapsed vars (uniform elsewhere), padded [V+1, K]
     exact_marginals: np.ndarray  # float64
+    # ---- dense color-major encoding (the MXU sweep path) -----------------
+    # Seen from variable v and its j-th incident factor, the factor table
+    # splits into OA "other assignments" × K own values: a LOCAL table.
+    # These are pre-gathered per chromatic group so the device sweep is
+    # pure einsums — no gathers or scatters touch HBM tables at runtime.
+    cm_scope_vars: np.ndarray = None  # [NC, G, F, S] int32 (own pos → sentinel)
+    cm_other_strides: np.ndarray = None  # [NC, G, F, S] int32 local mixed radix
+    cm_local_tables: np.ndarray = None  # [NC, G, F, OA, K] f32 log (padding 0)
+    cm_upd: np.ndarray = None  # [NC, G] bool
+    cm_kmask: np.ndarray = None  # [NC, G, K] bool
 
     def arrays(self) -> dict:
         """The fields the device sweep consumes, as a dict of numpy arrays."""
+        return dict(
+            cards=self.cards,
+            fixed=self.fixed,
+            color_vars=self.color_vars,
+            cm_scope_vars=self.cm_scope_vars,
+            cm_other_strides=self.cm_other_strides,
+            cm_local_tables=self.cm_local_tables,
+            cm_upd=self.cm_upd,
+            cm_kmask=self.cm_kmask,
+        )
+
+    def legacy_arrays(self) -> dict:
+        """Var-major adjacency view (reference-shaped; tests/host tools)."""
         return dict(
             cards=self.cards,
             tables=self.tables,
@@ -121,9 +147,11 @@ def compute_caps(
     nfac = np.zeros(v + 1, dtype=np.int64)
     max_scope = 1
     tab_total = 0
+    oa_cap = 1
     for f in m.factors:
         for u in f.scope:
             nfac[int(u)] += 1
+            oa_cap = max(oa_cap, int(f.table.size) // int(m.cards[int(u)]))
         max_scope = max(max_scope, int(f.scope.size))
         tab_total += int(f.table.size)
 
@@ -148,6 +176,7 @@ def compute_caps(
             if tsize <= MAX_TABLE_SIZE:
                 collapse_scope = max(collapse_scope, len(rest))
                 collapse_table = max(collapse_table, tsize)
+                oa_cap = max(oa_cap, tsize // int(m.cards[rest].min()))
 
     return EncodeCaps(
         num_vars=v,
@@ -157,6 +186,7 @@ def compute_caps(
         table_cap=_roundup(tab_total + max(collapse_table, headroom_table), 1024),
         color_cap=int(colors.max()) + 1 + 4,
         group_cap=gcap,
+        oa_cap=oa_cap,
     )
 
 
@@ -207,11 +237,17 @@ def encode_model(
     adj_scope_vars = np.full((v + 1, F, S), sent, dtype=np.int32)
     adj_scope_strides = np.zeros((v + 1, F, S), dtype=np.int32)
 
+    OA = caps.oa_cap
+    adj_other_strides = np.zeros((v + 1, F, S), dtype=np.int32)
+    adj_local_tables = np.zeros((v + 1, F, OA, k), dtype=np.float32)
+
     nseen = np.zeros(v + 1, dtype=np.int64)
     for fi, f in enumerate(m.factors):
         strides = table_strides(m.cards[f.scope])
         if f.scope.size > S:
             raise ValueError(f"factor {f.name} scope {f.scope.size} exceeds cap {S}")
+        tlog = tables[offsets[fi] : offsets[fi] + f.table.size]
+        shaped = tlog.reshape(tuple(int(c) for c in m.cards[f.scope]))
         for p, u in enumerate(f.scope):
             u = int(u)
             j = nseen[u]
@@ -225,6 +261,22 @@ def encode_model(
             ss = strides.copy()
             ss[p] = 0  # own position: contribution comes via k * self_stride
             adj_scope_strides[u, j, : f.scope.size] = ss
+            # -- local table: [other assignments, own value] --------------
+            cu = int(m.cards[u])
+            local = np.moveaxis(shaped, p, -1).reshape(-1, cu)
+            if local.shape[0] > OA:
+                raise ValueError(
+                    f"factor {f.name} local table {local.shape[0]} exceeds "
+                    f"oa cap {OA}"
+                )
+            adj_local_tables[u, j, : local.shape[0], :cu] = local
+            # local mixed-radix strides over the OTHER scope vars, laid at
+            # their scope positions (own position stride 0)
+            others = [q for q in range(f.scope.size) if q != p]
+            ostr = table_strides(m.cards[f.scope[others]])
+            ls = np.zeros(f.scope.size, dtype=np.int64)
+            ls[others] = ostr
+            adj_other_strides[u, j, : f.scope.size] = ls
 
     # ---- chromatic schedule ---------------------------------------------
     scopes = [f.scope for f in m.factors]
@@ -247,6 +299,15 @@ def encode_model(
     exact[:v, : m.marginals.shape[1]] = m.marginals
     exact[sent, 0] = 1.0
 
+    # ---- color-major dense views (the device sweep's whole topology) -----
+    cm_scope_vars = adj_scope_vars[color_vars]  # [NC, G, F, S]
+    cm_other_strides = adj_other_strides[color_vars]
+    cm_local_tables = adj_local_tables[color_vars]  # [NC, G, F, OA, K]
+    cm_upd = color_mask.copy()  # groups hold free vars only
+    cm_kmask = (
+        np.arange(k, dtype=np.int32)[None, None, :] < cards[color_vars][..., None]
+    ) & color_mask[..., None]
+
     return EncodedModel(
         caps=caps,
         cards=cards,
@@ -263,6 +324,11 @@ def encode_model(
         color_mask=color_mask,
         num_colors=len(groups),
         exact_marginals=exact,
+        cm_scope_vars=cm_scope_vars,
+        cm_other_strides=cm_other_strides,
+        cm_local_tables=cm_local_tables,
+        cm_upd=cm_upd,
+        cm_kmask=cm_kmask,
     )
 
 

@@ -54,6 +54,7 @@ def _merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
         table_cap=max(a.table_cap, b.table_cap),
         color_cap=max(a.color_cap, b.color_cap),
         group_cap=max(a.group_cap, b.group_cap),
+        oa_cap=max(a.oa_cap, b.oa_cap),
     )
 
 

@@ -56,7 +56,7 @@ def brute_logits(m, state_row, var):
 def test_conditional_logits_match_bruteforce(rng):
     m = rand_model(rng)
     enc = encode_model(m)
-    stack = {k: jnp.asarray(val) for k, val in enc.arrays().items()}
+    stack = {k: jnp.asarray(val) for k, val in enc.legacy_arrays().items()}
     v1 = m.num_vars + 1
     state = np.zeros((4, v1), dtype=np.int32)
     for c in range(4):
@@ -69,6 +69,36 @@ def test_conditional_logits_match_bruteforce(rng):
         for var in range(m.num_vars):
             want = brute_logits(m, state[c], var)
             got = logits[c, var, : int(m.cards[var])]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_dense_color_logits_match_bruteforce(rng):
+    """The MXU sweep path (local tables + one-hot einsums) must agree with
+    direct factor evaluation for every color group's vars."""
+    from grample_tpu.ops.gibbs_xla import _dense_color_logits
+
+    m = rand_model(rng)
+    enc = encode_model(m)
+    v1 = m.num_vars + 1
+    state = np.zeros((4, v1), dtype=np.int32)
+    for c in range(4):
+        state[c, :-1] = [rng.integers(0, int(k)) for k in m.cards]
+    state_f = jnp.asarray(state, dtype=jnp.float32)
+    for ci in range(enc.num_colors):
+        logits = np.asarray(
+            _dense_color_logits(
+                state_f,
+                jnp.asarray(enc.cm_scope_vars[ci]),
+                jnp.asarray(enc.cm_other_strides[ci]),
+                jnp.asarray(enc.cm_local_tables[ci]),
+            )
+        )
+        for g in range(enc.color_vars.shape[1]):
+            if not enc.cm_upd[ci, g]:
+                continue
+            var = int(enc.color_vars[ci, g])
+            want = brute_logits(m, state[0], var)
+            got = logits[0, g, : int(m.cards[var])]
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 

@@ -153,9 +153,11 @@ def test_encode_variant_stacking():
     m2.fixed[0] = 1
     e2 = encode_model(m2, caps)
     stack = stack_variants([e1, e2])
-    assert stack["tables"].shape[0] == 2
-    assert stack["update_ok"].shape == (2, m.num_vars + 1)
-    assert stack["update_ok"][1, 0] == False  # noqa: E712
+    assert stack["cm_local_tables"].shape[0] == 2
+    assert stack["cm_upd"].shape[0] == 2
+    # var 0 fixed in variant 2: it must appear in no update group there
+    assert (e2.color_vars[e2.cm_upd] != 0).all()
+    assert (e1.color_vars[e1.cm_upd] == 0).any()
 
 
 def test_caps_fit_full_suite_models():
