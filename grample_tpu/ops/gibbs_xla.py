@@ -19,19 +19,23 @@ ops.  Design deltas vs the reference:
   - *per-variable ring-buffer history* (``buffer/circular.go``)  →
     incremental split-half count tensors.
 
-TPU mapping (the part that sets the performance ceiling): the factor
-topology is pre-compiled into per-(var, factor) LOCAL tables indexed by
-(other-assignment, own-value) and laid out color-major (``encode.py``),
-so one sweep color is three einsums and two compares —
+TPU mapping (the part that sets the performance ceiling): inside the
+sweep everything is laid out chain-minor — state ``[V+1, C]`` with the
+chain axis on the 128-wide vector lanes — and each chromatic color is:
 
-  base   = state_f32 · W        (W: stride one-hot over vars, on the fly)
-  logits = onehot(base, OA) · local_tables       (contraction on the MXU)
-  state += (new − old)·upd · onehot(group_vars)  (dense update, no scatter)
+  rows   = state[scope_vars]                  (row gather, int32)
+  base   = Σ_s rows·strides                   (exact int32 — never floats)
+  logits = onehot(base, OA) · local_tables    (the MXU contraction)
+  state  = state.at[group_vars].add(Δ)        (row scatter-add)
 
-There are NO gathers or scatters anywhere in the sweep: XLA/TPU lowers
-those to serialized loops, which is why the naive translation is slow.
-The sweep count is a *traced* scalar (``fori_loop``), so one compiled
-program serves every window/burn-in size.
+Per-site cost is O(blanket), matching the reference's asymptotics
+(``gibbs-simple.go:186-220``) — the r1 design paid O(V) per site in a
+full-V one-hot matmul and carried indices through f32 einsums (wrong
+under TPU bf16 truncation, ADVICE.md r1 high).  Factors whose local
+table exceeds ``encode.OA_DENSE_CAP`` (giant collapse replacements) use
+a flat-table gather bank instead of the one-hot path.  The sweep count
+is a *traced* scalar (``fori_loop``), so one compiled program serves
+every window/burn-in size.
 """
 
 from __future__ import annotations
@@ -46,109 +50,141 @@ from jax import lax
 # Irreducibility floor: every outcome keeps relative probability >= 1e-6
 LOG_FLOOR = math.log(1e-6)
 NEG = -1e30
+HIGHEST = lax.Precision.HIGHEST
 
 
-def _dense_color_logits(state_f, scope_vars, other_strides, local_tab):
-    """Unmasked log-conditionals of one chromatic group: [C, G, K].
+def _color_logits(state_t, tables, xs):
+    """Unmasked log-conditionals of one chromatic group: [G, K, C].
 
-    Three dense ops, no gathers: stride one-hot → base index einsum →
-    local-table contraction (the MXU matmul).  Padded factor slots hold
-    all-zero local tables, so they contribute log 1 = 0 additively.
+    state_t: [V+1, C] int32 (chain-minor).  Dense bank: row-gather →
+    int32 base → one-hot × local-table MXU contraction.  Gather bank
+    (possibly empty, static on shape): flat-table gather.  Padded dense
+    slots hold all-zero local tables (contribute log 1 = 0 additively);
+    padded gather slots are masked.
     """
-    v1 = state_f.shape[1]
+    (scope_vars, other_strides, local_tab,
+     gb_offset, gb_self_stride, gb_scope_vars, gb_scope_strides, gb_mask,
+     kmask) = xs
+    c = state_t.shape[1]
+    kdim = local_tab.shape[-1]
     oa = local_tab.shape[-2]
 
-    # W[g,f,v] = stride of var v in (g,f)'s local radix (0 if absent)
-    viota = jnp.arange(v1, dtype=jnp.int32)
-    W = jnp.sum(
-        (scope_vars[..., None] == viota) * other_strides[..., None].astype(jnp.float32),
-        axis=2,
-    )  # [G, F, V+1]
-    base = jnp.einsum("cv,gfv->cgf", state_f, W)  # integer-valued f32
+    # ---- dense bank -------------------------------------------------------
+    rows = jnp.take(state_t, scope_vars.reshape(-1), axis=0)
+    rows = rows.reshape(scope_vars.shape + (c,))  # [G, F, S, C] int32
+    base = (rows * other_strides[..., None]).sum(axis=2)  # [G, F, C] int32
+    onehot = (base[:, :, None, :] == jnp.arange(oa, dtype=jnp.int32)[None, None, :, None])
+    # [G, F, OA, C] — exact 0/1; contraction over (f, oa) on the MXU.
+    logits = jnp.einsum(
+        "gfok,gfoc->gkc",
+        local_tab,
+        onehot.astype(jnp.float32),
+        precision=HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [G, K, C]
 
-    onehot = (base[..., None] == jnp.arange(oa, dtype=jnp.float32)).astype(
-        local_tab.dtype
-    )  # [C, G, F, OA]
-    return jnp.einsum(
-        "cgfo,gfok->cgk", onehot, local_tab, preferred_element_type=jnp.float32
-    )
+    # ---- gather bank (static skip when the caps hold no gather factors) ---
+    if gb_offset.shape[-1] > 0:
+        rows2 = jnp.take(state_t, gb_scope_vars.reshape(-1), axis=0)
+        rows2 = rows2.reshape(gb_scope_vars.shape + (c,))  # [G, Fg, S, C]
+        base2 = gb_offset[..., None] + (rows2 * gb_scope_strides[..., None]).sum(axis=2)
+        idx = (
+            base2[:, :, None, :]
+            + jnp.arange(kdim, dtype=jnp.int32)[None, None, :, None]
+            * gb_self_stride[:, :, None, None]
+        )  # [G, Fg, K, C]
+        ent = jnp.take(tables, idx, mode="clip")
+        logits = logits + (ent * gb_mask[:, :, None, None]).sum(axis=1)
+
+    return logits
 
 
-def _sample_color_dense(state_f, xs, ckey):
-    """Resample one chromatic group's vars across all chains — densely.
+def _sample_color(state_t, tables, xs, ckey):
+    """Resample one chromatic group's vars across all chains.
 
-    state_f: [C, V+1] float32 (integer-valued); xs: this color's slices.
-    Returns (newv [C, G] f32, U [G, V+1] f32 one-hot, updf [G] f32).
+    Returns (newv [G, C] int32, delta count contribution handled by
+    caller).  ``state_t`` [V+1, C] int32.
     """
-    scope_vars, other_strides, local_tab, vars_g, upd, kmask = xs
-    v1 = state_f.shape[1]
-    viota = jnp.arange(v1, dtype=jnp.int32)
-
-    logits = _dense_color_logits(state_f, scope_vars, other_strides, local_tab)
-    logits = jnp.where(kmask[None], logits, NEG)
-    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    kmask = xs[-1]
+    logits = _color_logits(state_t, tables, xs)  # [G, K, C]
+    km = kmask[:, :, None]
+    logits = jnp.where(km, logits, NEG)
+    lse = jax.nn.logsumexp(logits, axis=1, keepdims=True)
     logits = jnp.logaddexp(logits, lse + LOG_FLOOR)
-    logits = jnp.where(kmask[None], logits, NEG)
+    logits = jnp.where(km, logits, NEG)
 
     gum = jax.random.gumbel(ckey, logits.shape, dtype=logits.dtype)
-    newv = jnp.argmax(logits + gum, axis=-1).astype(jnp.float32)  # [C, G]
-
-    U = (vars_g[:, None] == viota[None, :]).astype(jnp.float32)  # [G, V+1]
-    return newv, U, upd.astype(jnp.float32)
+    return jnp.argmax(logits + gum, axis=1).astype(jnp.int32)  # [G, C]
 
 
 def _advance_one(enc, state, halves, key, num_sweeps, half_point, count: bool):
     """Advance one variant's chains by ``num_sweeps`` full chromatic sweeps.
 
-    state:  [C, V+1] int32 (carried as f32 inside the loop)
+    state:  [C, V+1] int32 (carried transposed [V+1, C] inside the loop)
     halves: [2, C, V+1, K] float32 — split-half window counts (count=True)
     num_sweeps / half_point: traced int scalars (no recompiles per size).
     """
     kdim = halves.shape[-1]
     nc = enc["color_vars"].shape[0]
+    tables = enc["tables"]
     xs_all = (
-        enc["cm_scope_vars"],
-        enc["cm_other_strides"],
-        enc["cm_local_tables"],
         enc["color_vars"],
         enc["cm_upd"],
-        enc["cm_kmask"],
+        (
+            enc["cm_scope_vars"],
+            enc["cm_other_strides"],
+            enc["cm_local_tables"],
+            enc["gb_offset"],
+            enc["gb_self_stride"],
+            enc["gb_scope_vars"],
+            enc["gb_scope_strides"],
+            enc["gb_mask"],
+            enc["cm_kmask"],
+        ),
     )
+    kiota = jnp.arange(kdim, dtype=jnp.int32)
 
     def color_body(carry, xsi):
-        state_f, dense, skey = carry
-        ci, xs = xsi
-        newv, U, updf = _sample_color_dense(state_f, xs, jax.random.fold_in(skey, ci))
-        old = jnp.einsum("cv,gv->cg", state_f, U)  # this color's current values
-        state_f = state_f + jnp.einsum("cg,gv->cv", (newv - old) * updf, U)
+        state_t, dense_t, skey = carry
+        ci, (vars_g, upd, xs) = xsi
+        newv = _sample_color(state_t, tables, xs, jax.random.fold_in(skey, ci))
+        old = jnp.take(state_t, vars_g, axis=0)  # [G, C]
+        delta = jnp.where(upd[:, None], newv - old, 0)
+        # Row scatter-add: padded slots target the sentinel row with Δ=0,
+        # so duplicate indices are collision-free by construction.
+        state_t = state_t.at[vars_g].add(delta)
         if count:
-            ok = (newv[..., None] == jnp.arange(kdim, dtype=jnp.float32)) * updf[
-                None, :, None
-            ]  # [C, G, K]
-            dense = dense + jnp.einsum("cgk,gv->cvk", ok, U)
-        return (state_f, dense, skey), None
+            ok = (
+                (newv[:, None, :] == kiota[None, :, None])
+                & upd[:, None, None]
+            ).astype(dense_t.dtype)  # [G, K, C]
+            dense_t = dense_t.at[vars_g].add(ok)
+        return (state_t, dense_t, skey), None
 
     def sweep_body(si, carry):
-        state_f, halves = carry
+        state_t, halves = carry
         skey = jax.random.fold_in(key, si)
-        dense = jnp.zeros_like(halves[0])  # [C, V+1, K]; inherits shard_map
-        #                                    varying axes from halves
-        (state_f, dense, _), _ = lax.scan(
+        # [V+1, K, C]; fresh per sweep.  Derived from ``halves`` so it
+        # inherits the shard_map varying-axes annotation (a plain zeros
+        # literal would be replicated and break the scan carry type).
+        dense_t = jnp.zeros_like(halves[0].transpose(1, 2, 0))
+        (state_t, dense_t, _), _ = lax.scan(
             color_body,
-            (state_f, dense, skey),
+            (state_t, dense_t, skey),
             (jnp.arange(nc, dtype=jnp.int32), xs_all),
         )
         if count:
+            dense = dense_t.transpose(2, 0, 1)  # [C, V+1, K]
             hsel = (si >= half_point).astype(halves.dtype)
             halves = halves + dense[None] * jnp.stack([1.0 - hsel, hsel])[
                 :, None, None, None
             ]
-        return (state_f, halves)
+        return (state_t, halves)
 
-    state_f, halves = lax.fori_loop(
-        0, num_sweeps, sweep_body, (state.astype(jnp.float32), halves)
+    state_t, halves = lax.fori_loop(
+        0, num_sweeps, sweep_body, (state.T, halves)
     )
-    return state_f.astype(state.dtype), halves
+    return state_t.T, halves
 
 
 @partial(jax.jit, static_argnames=("count",), donate_argnums=(1, 2))
@@ -179,7 +215,7 @@ def _conditional_logits(enc, state, vs, kdim: int):
     Reference-shaped gather path over the var-major adjacency
     (``EncodedModel.legacy_arrays()``) — kept for exact cross-checks
     against brute-force factor evaluation; the sweep itself uses the
-    dense color-major path above.
+    color-major path above.
 
     state: [C, V+1] int32; vs: [G] int32 → logits [C, G, kdim] float32.
     """

@@ -3,7 +3,8 @@
 The reference walks pointer graphs per site update (``Function.Eval``
 with a mixed-radix index per call, ``model/function.go:146-202``).  Here
 the whole topology is compiled once into padded integer arrays so the
-per-sweep compute is pure gathers + reductions, vectorized over
+per-sweep compute is O(blanket) per site — matching the reference's
+asymptotics (``sampler/gibbs-simple.go:163-271``) while vectorizing over
 (chains × variables-of-a-color):
 
   - ``tables``         [T]          all log-space factor tables, concatenated
@@ -24,6 +25,21 @@ The conditional of var v given the rest is then, for each value k:
 which is exactly the log of the reference's per-factor Eval-and-sum
 (``sampler/gibbs-simple.go:186-220``) for all chains/values at once.
 
+Device-sweep views are COLOR-MAJOR and split into two banks per
+(var, incident-factor) pair, classified by the factor's *local* table
+size OA = table_size / card(var):
+
+  - **dense bank** (OA <= OA_DENSE_CAP): the table slice seen from v is
+    pre-gathered into a LOCAL table [OA, K]; on device the lookup is a
+    one-hot × local-table contraction on the MXU — no runtime gather.
+  - **gather bank** (OA > OA_DENSE_CAP, i.e. giant collapse-replacement
+    factors): the device indexes the flat ``tables`` array directly.
+    Rare by construction, so the serialized gather cost is bounded.
+
+All base-index arithmetic is int32 on device — exact by construction
+(no float matmul carries indices, so TPU bf16 truncation can't corrupt
+them).
+
 A sentinel padding variable lives at index V (card 1, never updated);
 all index padding points at it so scatters/gathers stay in-bounds and
 collision-free.  Shapes are *capacities*: every collapse variant of a
@@ -39,7 +55,13 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from grample_tpu.pgm.coloring import color_graph, color_groups, verify_coloring
-from grample_tpu.pgm.discrete import LOG_EPS, DiscreteModel, table_strides
+from grample_tpu.pgm.discrete import LOG_EPS, MAX_TABLE_SIZE, DiscreteModel, table_strides
+
+#: Largest local-table row count the dense (MXU one-hot) path materializes.
+#: Every base model in the reference suite fits (max local table 512,
+#: SURVEY.md §6); only collapse-replacement factors can exceed it, and
+#: those go to the gather bank instead of inflating [*, OA, K] tensors.
+OA_DENSE_CAP = 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,13 +70,13 @@ class EncodeCaps:
 
     num_vars: int  # V (without sentinel)
     max_card: int  # K
-    adj_cap: int  # F: max factors per variable
+    adj_cap: int  # F: max dense-bank factors per variable
     scope_cap: int  # S: max scope size
     table_cap: int  # T: flat table length
     color_cap: int  # NC: max chromatic groups
     group_cap: int  # G: max vars per group
-    oa_cap: int = 1  # OA: max "other assignments" of a factor seen from
-    #                  one scope var (table size / that var's card)
+    oa_cap: int = 1  # OA: dense-bank local-table rows (<= OA_DENSE_CAP)
+    gfac_cap: int = 0  # Fg: gather-bank factors per variable
 
     def fits(self, other: "EncodeCaps") -> bool:
         return (
@@ -66,6 +88,7 @@ class EncodeCaps:
             and self.color_cap >= other.color_cap
             and self.group_cap >= other.group_cap
             and self.oa_cap >= other.oa_cap
+            and self.gfac_cap >= other.gfac_cap
         )
 
 
@@ -93,16 +116,22 @@ class EncodedModel:
     num_colors: int
     # Exact marginal for collapsed vars (uniform elsewhere), padded [V+1, K]
     exact_marginals: np.ndarray  # float64
-    # ---- dense color-major encoding (the MXU sweep path) -----------------
+    # ---- dense color-major bank (the MXU sweep path) ----------------------
     # Seen from variable v and its j-th incident factor, the factor table
     # splits into OA "other assignments" × K own values: a LOCAL table.
-    # These are pre-gathered per chromatic group so the device sweep is
-    # pure einsums — no gathers or scatters touch HBM tables at runtime.
+    # Pre-gathered per chromatic group so the device lookup is one one-hot
+    # einsum on the MXU.
     cm_scope_vars: np.ndarray = None  # [NC, G, F, S] int32 (own pos → sentinel)
     cm_other_strides: np.ndarray = None  # [NC, G, F, S] int32 local mixed radix
     cm_local_tables: np.ndarray = None  # [NC, G, F, OA, K] f32 log (padding 0)
     cm_upd: np.ndarray = None  # [NC, G] bool
     cm_kmask: np.ndarray = None  # [NC, G, K] bool
+    # ---- gather color-major bank (giant collapse factors) -----------------
+    gb_offset: np.ndarray = None  # [NC, G, Fg] int32 into ``tables``
+    gb_self_stride: np.ndarray = None  # [NC, G, Fg] int32
+    gb_scope_vars: np.ndarray = None  # [NC, G, Fg, S] int32
+    gb_scope_strides: np.ndarray = None  # [NC, G, Fg, S] int32
+    gb_mask: np.ndarray = None  # [NC, G, Fg] bool
 
     def arrays(self) -> dict:
         """The fields the device sweep consumes, as a dict of numpy arrays."""
@@ -115,6 +144,12 @@ class EncodedModel:
             cm_local_tables=self.cm_local_tables,
             cm_upd=self.cm_upd,
             cm_kmask=self.cm_kmask,
+            tables=self.tables,
+            gb_offset=self.gb_offset,
+            gb_self_stride=self.gb_self_stride,
+            gb_scope_vars=self.gb_scope_vars,
+            gb_scope_strides=self.gb_scope_strides,
+            gb_mask=self.gb_mask,
         )
 
     def legacy_arrays(self) -> dict:
@@ -134,24 +169,42 @@ class EncodedModel:
         )
 
 
+def _classify_local(table_size: int, card: int) -> tuple:
+    """(is_dense, oa_rows) for one (var, factor) incidence."""
+    rows = int(table_size) // int(card)
+    return rows <= OA_DENSE_CAP, rows
+
+
 def compute_caps(
     m: DiscreteModel,
     headroom_factors: int = 2,
     headroom_table: int = 4096,
     group_cap: int = 0,
+    collapse_headroom: bool = False,
 ) -> EncodeCaps:
-    """Measure a model and pick capacities with headroom for collapse
-    variants (collapse replaces a var's factors with one blanket factor,
-    which can have a larger scope/table than anything in the base model)."""
+    """Measure a model and pick capacities.
+
+    ``collapse_headroom=True`` adds room for collapse variants up front
+    (collapse replaces a var's factors with one blanket factor, which can
+    have a larger scope/table).  Leave it off for plain-Gibbs runs — the
+    chain runtime grows caps lazily (with a re-encode + recompile) if a
+    variant ever outgrows them, so eager headroom is an optimization for
+    adaptive/collapsed runs, never a requirement (ADVICE.md r1, medium).
+    """
     v = m.num_vars
     nfac = np.zeros(v + 1, dtype=np.int64)
+    ngfac = np.zeros(v + 1, dtype=np.int64)
     max_scope = 1
     tab_total = 0
     oa_cap = 1
     for f in m.factors:
         for u in f.scope:
-            nfac[int(u)] += 1
-            oa_cap = max(oa_cap, int(f.table.size) // int(m.cards[int(u)]))
+            dense, rows = _classify_local(f.table.size, m.cards[int(u)])
+            if dense:
+                nfac[int(u)] += 1
+                oa_cap = max(oa_cap, rows)
+            else:
+                ngfac[int(u)] += 1
         max_scope = max(max_scope, int(f.scope.size))
         tab_total += int(f.table.size)
 
@@ -159,24 +212,31 @@ def compute_caps(
     groups = color_groups(colors, np.asarray(m.free_mask), group_cap or 0)
     gcap = max((g.size for g in groups), default=1)
 
-    # Collapse headroom: new factor scope = blanket-1 vars (<= 11 by the
-    # NeighborVarMax=12 policy); its table can reach prod of their cards,
-    # but only tables within MAX_TABLE_SIZE are ever built (the reference
-    # NewFunction guard, model/function.go:59-78), so larger blankets are
-    # simply not collapsible and need no headroom.
-    from grample_tpu.pgm.discrete import MAX_TABLE_SIZE
-
-    blankets = m.blankets()
     collapse_scope = 0
     collapse_table = 0
-    for i, b in enumerate(blankets):
-        if 1 < len(b) <= 12:
-            rest = [u for u in b if u != i]
-            tsize = int(np.prod(m.cards[rest], dtype=np.float64).clip(max=2 * MAX_TABLE_SIZE))
-            if tsize <= MAX_TABLE_SIZE:
-                collapse_scope = max(collapse_scope, len(rest))
-                collapse_table = max(collapse_table, tsize)
-                oa_cap = max(oa_cap, tsize // int(m.cards[rest].min()))
+    gfac_cap = int(ngfac.max())
+    if collapse_headroom:
+        # Collapse headroom: new factor scope = blanket-1 vars (<= 11 by
+        # the NeighborVarMax=12 policy); its table can reach the product
+        # of their cards, but only tables within MAX_TABLE_SIZE are ever
+        # built (the reference NewFunction guard, model/function.go:59-78),
+        # so larger blankets are simply not collapsible and need no room.
+        blankets = m.blankets()
+        for i, b in enumerate(blankets):
+            if 1 < len(b) <= 12:
+                rest = [u for u in b if u != i]
+                tsize = int(
+                    np.prod(m.cards[rest], dtype=np.float64).clip(max=2 * MAX_TABLE_SIZE)
+                )
+                if tsize <= MAX_TABLE_SIZE:
+                    collapse_scope = max(collapse_scope, len(rest))
+                    collapse_table = max(collapse_table, tsize)
+                    for u in rest:
+                        dense, rows = _classify_local(tsize, m.cards[u])
+                        if dense:
+                            oa_cap = max(oa_cap, rows)
+                        else:
+                            gfac_cap = max(gfac_cap, int(ngfac[u]) + 1)
 
     return EncodeCaps(
         num_vars=v,
@@ -187,6 +247,24 @@ def compute_caps(
         color_cap=int(colors.max()) + 1 + 4,
         group_cap=gcap,
         oa_cap=oa_cap,
+        gfac_cap=gfac_cap,
+    )
+
+
+def merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
+    """Elementwise max of two capacity sets (same model)."""
+    if a.num_vars != b.num_vars:
+        raise ValueError("cannot merge caps of different models")
+    return EncodeCaps(
+        num_vars=a.num_vars,
+        max_card=max(a.max_card, b.max_card),
+        adj_cap=max(a.adj_cap, b.adj_cap),
+        scope_cap=max(a.scope_cap, b.scope_cap),
+        table_cap=max(a.table_cap, b.table_cap),
+        color_cap=max(a.color_cap, b.color_cap),
+        group_cap=max(a.group_cap, b.group_cap),
+        oa_cap=max(a.oa_cap, b.oa_cap),
+        gfac_cap=max(a.gfac_cap, b.gfac_cap),
     )
 
 
@@ -230,18 +308,29 @@ def encode_model(
         tables[pos : pos + t.size] = t.astype(np.float32)
         pos += t.size
 
-    F, S = caps.adj_cap, caps.scope_cap
-    adj_offset = np.zeros((v + 1, F), dtype=np.int32)
-    adj_self_stride = np.zeros((v + 1, F), dtype=np.int32)
-    adj_mask = np.zeros((v + 1, F), dtype=bool)
-    adj_scope_vars = np.full((v + 1, F, S), sent, dtype=np.int32)
-    adj_scope_strides = np.zeros((v + 1, F, S), dtype=np.int32)
+    F, S, Fg = caps.adj_cap, caps.scope_cap, caps.gfac_cap
+    # legacy var-major adjacency over ALL incident factors (dense + gather)
+    FA = F + Fg
+    adj_offset = np.zeros((v + 1, FA), dtype=np.int32)
+    adj_self_stride = np.zeros((v + 1, FA), dtype=np.int32)
+    adj_mask = np.zeros((v + 1, FA), dtype=bool)
+    adj_scope_vars = np.full((v + 1, FA, S), sent, dtype=np.int32)
+    adj_scope_strides = np.zeros((v + 1, FA, S), dtype=np.int32)
 
     OA = caps.oa_cap
-    adj_other_strides = np.zeros((v + 1, F, S), dtype=np.int32)
-    adj_local_tables = np.zeros((v + 1, F, OA, k), dtype=np.float32)
+    d_scope_vars = np.full((v + 1, F, S), sent, dtype=np.int32)
+    d_other_strides = np.zeros((v + 1, F, S), dtype=np.int32)
+    d_local_tables = np.zeros((v + 1, F, OA, k), dtype=np.float32)
+
+    g_offset = np.zeros((v + 1, Fg), dtype=np.int32)
+    g_self_stride = np.zeros((v + 1, Fg), dtype=np.int32)
+    g_scope_vars = np.full((v + 1, Fg, S), sent, dtype=np.int32)
+    g_scope_strides = np.zeros((v + 1, Fg, S), dtype=np.int32)
+    g_mask = np.zeros((v + 1, Fg), dtype=bool)
 
     nseen = np.zeros(v + 1, dtype=np.int64)
+    ndense = np.zeros(v + 1, dtype=np.int64)
+    ngather = np.zeros(v + 1, dtype=np.int64)
     for fi, f in enumerate(m.factors):
         strides = table_strides(m.cards[f.scope])
         if f.scope.size > S:
@@ -251,8 +340,8 @@ def encode_model(
         for p, u in enumerate(f.scope):
             u = int(u)
             j = nseen[u]
-            if j >= F:
-                raise ValueError(f"var {u} has more than {F} factors")
+            if j >= FA:
+                raise ValueError(f"var {u} has more than {FA} factors")
             nseen[u] = j + 1
             adj_offset[u, j] = offsets[fi]
             adj_self_stride[u, j] = strides[p]
@@ -261,22 +350,39 @@ def encode_model(
             ss = strides.copy()
             ss[p] = 0  # own position: contribution comes via k * self_stride
             adj_scope_strides[u, j, : f.scope.size] = ss
-            # -- local table: [other assignments, own value] --------------
+
             cu = int(m.cards[u])
-            local = np.moveaxis(shaped, p, -1).reshape(-1, cu)
-            if local.shape[0] > OA:
-                raise ValueError(
-                    f"factor {f.name} local table {local.shape[0]} exceeds "
-                    f"oa cap {OA}"
-                )
-            adj_local_tables[u, j, : local.shape[0], :cu] = local
-            # local mixed-radix strides over the OTHER scope vars, laid at
-            # their scope positions (own position stride 0)
-            others = [q for q in range(f.scope.size) if q != p]
-            ostr = table_strides(m.cards[f.scope[others]])
-            ls = np.zeros(f.scope.size, dtype=np.int64)
-            ls[others] = ostr
-            adj_other_strides[u, j, : f.scope.size] = ls
+            dense, rows = _classify_local(f.table.size, cu)
+            if dense:
+                jd = ndense[u]
+                if jd >= F:
+                    raise ValueError(f"var {u} has more than {F} dense factors")
+                ndense[u] = jd + 1
+                if rows > OA:
+                    raise ValueError(
+                        f"factor {f.name} local table {rows} exceeds oa cap {OA}"
+                    )
+                # -- local table: [other assignments, own value] -----------
+                local = np.moveaxis(shaped, p, -1).reshape(-1, cu)
+                d_local_tables[u, jd, : local.shape[0], :cu] = local
+                d_scope_vars[u, jd, : f.scope.size] = f.scope
+                # local mixed-radix strides over the OTHER scope vars, laid
+                # at their scope positions (own position stride 0)
+                others = [q for q in range(f.scope.size) if q != p]
+                ostr = table_strides(m.cards[f.scope[others]])
+                ls = np.zeros(f.scope.size, dtype=np.int64)
+                ls[others] = ostr
+                d_other_strides[u, jd, : f.scope.size] = ls
+            else:
+                jg = ngather[u]
+                if jg >= Fg:
+                    raise ValueError(f"var {u} has more than {Fg} gather factors")
+                ngather[u] = jg + 1
+                g_offset[u, jg] = offsets[fi]
+                g_self_stride[u, jg] = strides[p]
+                g_scope_vars[u, jg, : f.scope.size] = f.scope
+                g_scope_strides[u, jg, : f.scope.size] = ss
+                g_mask[u, jg] = True
 
     # ---- chromatic schedule ---------------------------------------------
     scopes = [f.scope for f in m.factors]
@@ -299,10 +405,10 @@ def encode_model(
     exact[:v, : m.marginals.shape[1]] = m.marginals
     exact[sent, 0] = 1.0
 
-    # ---- color-major dense views (the device sweep's whole topology) -----
-    cm_scope_vars = adj_scope_vars[color_vars]  # [NC, G, F, S]
-    cm_other_strides = adj_other_strides[color_vars]
-    cm_local_tables = adj_local_tables[color_vars]  # [NC, G, F, OA, K]
+    # ---- color-major views (the device sweep's whole topology) -----------
+    cm_scope_vars = d_scope_vars[color_vars]  # [NC, G, F, S]
+    cm_other_strides = d_other_strides[color_vars]
+    cm_local_tables = d_local_tables[color_vars]  # [NC, G, F, OA, K]
     cm_upd = color_mask.copy()  # groups hold free vars only
     cm_kmask = (
         np.arange(k, dtype=np.int32)[None, None, :] < cards[color_vars][..., None]
@@ -329,6 +435,11 @@ def encode_model(
         cm_local_tables=cm_local_tables,
         cm_upd=cm_upd,
         cm_kmask=cm_kmask,
+        gb_offset=g_offset[color_vars],
+        gb_self_stride=g_self_stride[color_vars],
+        gb_scope_vars=g_scope_vars[color_vars],
+        gb_scope_strides=g_scope_strides[color_vars],
+        gb_mask=g_mask[color_vars],
     )
 
 

@@ -33,7 +33,14 @@ import numpy as np
 from grample_tpu.metrics.psrf import chain_convergence
 from grample_tpu.ops.gibbs_xla import advance_chains
 from grample_tpu.pgm.discrete import DiscreteModel
-from grample_tpu.pgm.encode import EncodeCaps, EncodedModel, compute_caps, encode_model, stack_variants
+from grample_tpu.pgm.encode import (
+    EncodeCaps,
+    EncodedModel,
+    compute_caps,
+    encode_model,
+    merge_caps,
+    stack_variants,
+)
 
 MAX_VARIANTS = 128  # reference ConvergenceSampler.MaxChains (adaptive.go:49)
 
@@ -43,19 +50,6 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
-
-
-def _merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
-    return EncodeCaps(
-        num_vars=a.num_vars,
-        max_card=max(a.max_card, b.max_card),
-        adj_cap=max(a.adj_cap, b.adj_cap),
-        scope_cap=max(a.scope_cap, b.scope_cap),
-        table_cap=max(a.table_cap, b.table_cap),
-        color_cap=max(a.color_cap, b.color_cap),
-        group_cap=max(a.group_cap, b.group_cap),
-        oa_cap=max(a.oa_cap, b.oa_cap),
-    )
 
 
 class ChainGroup:
@@ -70,13 +64,16 @@ class ChainGroup:
         caps: Optional[EncodeCaps] = None,
         group_cap: int = 0,
         max_variants: int = MAX_VARIANTS,
+        collapse_headroom: bool = False,
     ):
         base_model.check()
         self.base = base_model
         self.cpv = int(chains_per_variant)
         self.cw = int(converge_window)
         self.max_variants = max_variants
-        self.caps = caps or compute_caps(base_model, group_cap=group_cap)
+        self.caps = caps or compute_caps(
+            base_model, group_cap=group_cap, collapse_headroom=collapse_headroom
+        )
         self.key = jax.random.key(seed)
         self._step = 0
 
@@ -117,7 +114,7 @@ class ChainGroup:
         try:
             return encode_model(model, self.caps)
         except ValueError:
-            grown = _merge_caps(self.caps, compute_caps(model))
+            grown = merge_caps(self.caps, compute_caps(model))
             self.caps = grown
             self.encs = [encode_model(mv, grown) for mv in self.variants]
             self._restack()

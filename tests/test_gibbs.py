@@ -72,10 +72,26 @@ def test_conditional_logits_match_bruteforce(rng):
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_dense_color_logits_match_bruteforce(rng):
-    """The MXU sweep path (local tables + one-hot einsums) must agree with
-    direct factor evaluation for every color group's vars."""
-    from grample_tpu.ops.gibbs_xla import _dense_color_logits
+def _color_xs(enc, ci):
+    """The per-color xs tuple the sweep's _color_logits consumes."""
+    return (
+        jnp.asarray(enc.cm_scope_vars[ci]),
+        jnp.asarray(enc.cm_other_strides[ci]),
+        jnp.asarray(enc.cm_local_tables[ci]),
+        jnp.asarray(enc.gb_offset[ci]),
+        jnp.asarray(enc.gb_self_stride[ci]),
+        jnp.asarray(enc.gb_scope_vars[ci]),
+        jnp.asarray(enc.gb_scope_strides[ci]),
+        jnp.asarray(enc.gb_mask[ci]),
+        jnp.asarray(enc.cm_kmask[ci]),
+    )
+
+
+def test_color_logits_match_bruteforce(rng):
+    """The sweep path (gather base + one-hot MXU contraction, plus the
+    flat-table gather bank) must agree with direct factor evaluation for
+    every color group's vars."""
+    from grample_tpu.ops.gibbs_xla import _color_logits
 
     m = rand_model(rng)
     enc = encode_model(m)
@@ -83,23 +99,52 @@ def test_dense_color_logits_match_bruteforce(rng):
     state = np.zeros((4, v1), dtype=np.int32)
     for c in range(4):
         state[c, :-1] = [rng.integers(0, int(k)) for k in m.cards]
-    state_f = jnp.asarray(state, dtype=jnp.float32)
+    state_t = jnp.asarray(state.T)  # [V+1, C]
+    tables = jnp.asarray(enc.tables)
     for ci in range(enc.num_colors):
-        logits = np.asarray(
-            _dense_color_logits(
-                state_f,
-                jnp.asarray(enc.cm_scope_vars[ci]),
-                jnp.asarray(enc.cm_other_strides[ci]),
-                jnp.asarray(enc.cm_local_tables[ci]),
-            )
-        )
+        logits = np.asarray(_color_logits(state_t, tables, _color_xs(enc, ci)))
         for g in range(enc.color_vars.shape[1]):
             if not enc.cm_upd[ci, g]:
                 continue
             var = int(enc.color_vars[ci, g])
             want = brute_logits(m, state[0], var)
-            got = logits[0, g, : int(m.cards[var])]
+            got = logits[g, : int(m.cards[var]), 0]
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_color_logits_gather_bank(rng):
+    """Factors whose local table exceeds OA_DENSE_CAP must route through
+    the gather bank and still produce exact log-conditionals."""
+    from grample_tpu.ops.gibbs_xla import _color_logits
+    from grample_tpu.pgm.encode import OA_DENSE_CAP
+
+    # One big factor over 12 binary vars: local table rows = 2^11 = 2048
+    # > OA_DENSE_CAP, so every incidence lands in the gather bank.
+    v = 12
+    cards = np.full(v, 2)
+    big = Factor("big", np.arange(v), rng.random(2**v) + 0.1)
+    unary = [Factor(f"u{i}", [i], rng.random(2) + 0.1) for i in range(v)]
+    m = DiscreteModel(type="MARKOV", cards=cards, factors=[big] + unary)
+    enc = encode_model(m)
+    assert enc.caps.gfac_cap >= 1
+    assert enc.caps.oa_cap <= OA_DENSE_CAP
+    assert enc.gb_mask.sum() == v  # the big factor, once per var
+
+    state = np.zeros((2, v + 1), dtype=np.int32)
+    state[0, :-1] = rng.integers(0, 2, size=v)
+    state[1, :-1] = rng.integers(0, 2, size=v)
+    state_t = jnp.asarray(state.T)
+    tables = jnp.asarray(enc.tables)
+    for ci in range(enc.num_colors):
+        logits = np.asarray(_color_logits(state_t, tables, _color_xs(enc, ci)))
+        for g in range(enc.color_vars.shape[1]):
+            if not enc.cm_upd[ci, g]:
+                continue
+            var = int(enc.color_vars[ci, g])
+            for c in range(2):
+                want = brute_logits(m, state[c], var)
+                got = logits[g, : int(m.cards[var]), c]
+                np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def _run_chains(m, sweeps=600, chains=256, seed=0):
