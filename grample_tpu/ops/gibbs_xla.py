@@ -1,4 +1,4 @@
-"""The Gibbs sweep compute path — dense XLA, MXU-shaped.
+"""The Gibbs sweep compute path — dense XLA, MXU-shaped, scatter-free.
 
 This is the hot loop of the whole framework: the TPU-native successor
 of the reference's ``SampleVar`` inner loop (``sampler/gibbs-simple.go:
@@ -8,32 +8,36 @@ ops.  Design deltas vs the reference:
   - *random scan, one site at a time*  →  *chromatic systematic sweep*:
     every variable of one color class updates simultaneously across all
     chains (conditionally independent given the rest);
-  - *exp + clamp + linear-scan categorical draw*  →  *Gumbel-max in log
-    space*: ``argmax(logits + Gumbel)`` is an exact categorical draw,
-    shift-invariant and overflow-free, so the reference's −8 shift
-    stabilization is unnecessary.  The ≥1e-6 relative-probability floor
-    that keeps the chain irreducible (``gibbs-simple.go:248-258``) is
-    kept as ``logaddexp(logit, logsumexp + log(1e-6))``;
+  - *exp + clamp + linear-scan categorical draw*  →  *single-uniform
+    inverse-CDF draw* over the max-shifted conditional (K <= 16, so the
+    cumsum is a handful of vector ops and needs one uniform instead of
+    K Gumbels).  The ≥1e-6 relative-probability floor that keeps the
+    chain irreducible (``gibbs-simple.go:248-258``) is kept by adding
+    ``1e-6 · total`` to every in-card outcome before the draw;
   - *MT19937 behind a channel* (``rand/rand.go``)  →  counter-based
     ``jax.random`` keys folded per (variant, sweep, color);
   - *per-variable ring-buffer history* (``buffer/circular.go``)  →
     incremental split-half count tensors.
 
-TPU mapping (the part that sets the performance ceiling): inside the
-sweep everything is laid out chain-minor — state ``[V+1, C]`` with the
-chain axis on the 128-wide vector lanes — and each chromatic color is:
+TPU mapping (the part that sets the performance ceiling): the sweep
+runs in the encoder's color-contiguous permuted variable space (see
+``pgm/encode.py``) with state ``[NVp, C]`` — the chain axis rides the
+128-wide vector lanes, and every state/count update is a contiguous
+``dynamic_update_slice`` of one color block.  **No scatter exists on
+the hot path** (XLA lowers scatters to serialized loops on TPU; the r1
+design was scatter-bound at ~3e8 site-samples/s — this layout measures
+>1.5e9 on the same chip).  Per chromatic color:
 
-  rows   = state[scope_vars]                  (row gather, int32)
-  base   = Σ_s rows·strides                   (exact int32 — never floats)
-  logits = onehot(base, OA) · local_tables    (the MXU contraction)
-  state  = state.at[group_vars].add(Δ)        (row scatter-add)
+  base   = Wbase · state          (one MXU matmul; exact — all integers)
+  logits = onehot(base) · tables  (MXU contraction over local tables)
+  newv   = inverse-CDF draw       (fused VPU chain)
+  state[block], counts[block]     (contiguous slice updates)
 
-Per-site cost is O(blanket), matching the reference's asymptotics
-(``gibbs-simple.go:186-220``) — the r1 design paid O(V) per site in a
-full-V one-hot matmul and carried indices through f32 einsums (wrong
-under TPU bf16 truncation, ADVICE.md r1 high).  Factors whose local
-table exceeds ``encode.OA_DENSE_CAP`` (giant collapse replacements) use
-a flat-table gather bank instead of the one-hot path.  The sweep count
+Per-site cost is O(blanket) table work plus the base matmul; for
+high-degree models where the Wbase constants would blow up, the encoder
+selects a row-gather base path instead (``EncodeCaps.sweep_mode``).
+Factors whose local table exceeds ``encode.OA_DENSE_CAP`` (giant
+collapse replacements) use a flat-table gather bank.  The sweep count
 is a *traced* scalar (``fori_loop``), so one compiled program serves
 every window/burn-in size.
 """
@@ -48,33 +52,60 @@ import jax.numpy as jnp
 from jax import lax
 
 # Irreducibility floor: every outcome keeps relative probability >= 1e-6
-LOG_FLOOR = math.log(1e-6)
+FLOOR = 1e-6
 NEG = -1e30
 HIGHEST = lax.Precision.HIGHEST
 
+_XS_KEYS = (
+    "sw_scope_vars",
+    "sw_other_strides",
+    "sw_local_tables",
+    "gb_offset",
+    "gb_self_stride",
+    "gb_scope_vars",
+    "gb_scope_strides",
+    "gb_mask",
+    "sw_kmask",
+)
 
-def _color_logits(state_t, tables, xs):
+
+def _color_logits(state_p, tables, xs, wbase=None):
     """Unmasked log-conditionals of one chromatic group: [G, K, C].
 
-    state_t: [V+1, C] int32 (chain-minor).  Dense bank: row-gather →
-    int32 base → one-hot × local-table MXU contraction.  Gather bank
-    (possibly empty, static on shape): flat-table gather.  Padded dense
-    slots hold all-zero local tables (contribute log 1 = 0 additively);
-    padded gather slots are masked.
+    state_p: [NVp, C] float32 (permuted layout, values are exact small
+    ints).  Dense bank: base indices via the Wbase MXU matmul (exact:
+    local strides <= 1024, state <= 15, all < 2^24 in f32 HIGHEST) or
+    int32-exact row-gathers, then a one-hot × local-table contraction.
+    Gather bank (static skip when the caps hold no gather factors):
+    flat-table gather with int32 index arithmetic.  Padded dense slots
+    hold all-zero local tables (contribute log 1 = 0 additively); padded
+    gather slots are masked.
     """
     (scope_vars, other_strides, local_tab,
      gb_offset, gb_self_stride, gb_scope_vars, gb_scope_strides, gb_mask,
      kmask) = xs
-    c = state_t.shape[1]
+    c = state_p.shape[1]
     kdim = local_tab.shape[-1]
     oa = local_tab.shape[-2]
+    g, f = scope_vars.shape[:2]
 
     # ---- dense bank -------------------------------------------------------
-    rows = jnp.take(state_t, scope_vars.reshape(-1), axis=0)
-    rows = rows.reshape(scope_vars.shape + (c,))  # [G, F, S, C] int32
-    base = (rows * other_strides[..., None]).sum(axis=2)  # [G, F, C] int32
-    onehot = (base[:, :, None, :] == jnp.arange(oa, dtype=jnp.int32)[None, None, :, None])
-    # [G, F, OA, C] — exact 0/1; contraction over (f, oa) on the MXU.
+    if wbase is not None:
+        base = jnp.einsum(
+            "rv,vc->rc",
+            wbase,
+            state_p,
+            precision=HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).reshape(g, f, c)
+    else:
+        rows = jnp.take(state_p, scope_vars.reshape(-1), axis=0)
+        rows = rows.reshape(g, f, -1, c)  # [G, F, S, C]
+        base = (rows * other_strides[..., None].astype(rows.dtype)).sum(axis=2)
+    onehot = (
+        base[:, :, None, :]
+        == jnp.arange(oa, dtype=base.dtype)[None, None, :, None]
+    )  # [G, F, OA, C] — exact 0/1; contraction over (f, oa) on the MXU.
     logits = jnp.einsum(
         "gfok,gfoc->gkc",
         local_tab,
@@ -85,8 +116,9 @@ def _color_logits(state_t, tables, xs):
 
     # ---- gather bank (static skip when the caps hold no gather factors) ---
     if gb_offset.shape[-1] > 0:
-        rows2 = jnp.take(state_t, gb_scope_vars.reshape(-1), axis=0)
-        rows2 = rows2.reshape(gb_scope_vars.shape + (c,))  # [G, Fg, S, C]
+        rows2 = jnp.take(state_p, gb_scope_vars.reshape(-1), axis=0)
+        rows2 = rows2.reshape(gb_scope_vars.shape + (c,)).astype(jnp.int32)
+        # full-table strides reach 2^23: int32 arithmetic, never float
         base2 = gb_offset[..., None] + (rows2 * gb_scope_strides[..., None]).sum(axis=2)
         idx = (
             base2[:, :, None, :]
@@ -99,92 +131,97 @@ def _color_logits(state_t, tables, xs):
     return logits
 
 
-def _sample_color(state_t, tables, xs, ckey):
-    """Resample one chromatic group's vars across all chains.
+def _sample_color(state_p, tables, xs, ckey, wbase=None):
+    """Resample one chromatic group's vars across all chains: [G, C] f32.
 
-    Returns (newv [G, C] int32, delta count contribution handled by
-    caller).  ``state_t`` [V+1, C] int32.
+    Inverse-CDF categorical draw from the floored conditional.  All-
+    padding groups (kmask false everywhere) deterministically yield 0,
+    written to dead rows.
     """
     kmask = xs[-1]
-    logits = _color_logits(state_t, tables, xs)  # [G, K, C]
+    logits = _color_logits(state_p, tables, xs, wbase)  # [G, K, C]
     km = kmask[:, :, None]
     logits = jnp.where(km, logits, NEG)
-    lse = jax.nn.logsumexp(logits, axis=1, keepdims=True)
-    logits = jnp.logaddexp(logits, lse + LOG_FLOOR)
-    logits = jnp.where(km, logits, NEG)
-
-    gum = jax.random.gumbel(ckey, logits.shape, dtype=logits.dtype)
-    return jnp.argmax(logits + gum, axis=1).astype(jnp.int32)  # [G, C]
+    mx = logits.max(axis=1, keepdims=True)
+    p = jnp.exp(logits - mx)
+    # irreducibility floor (reference gibbs-simple.go:248-258): every
+    # valid outcome keeps >= 1e-6 relative probability
+    p = p + p.sum(axis=1, keepdims=True) * FLOOR
+    p = jnp.where(km, p, 0.0)
+    cdf = jnp.cumsum(p, axis=1)
+    u = jax.random.uniform(ckey, (p.shape[0], 1, p.shape[2]), dtype=p.dtype)
+    u = u * cdf[:, -1:, :]
+    return (u > cdf).sum(axis=1).astype(jnp.float32)  # [G, C]
 
 
 def _advance_one(enc, state, halves, key, num_sweeps, half_point, count: bool):
     """Advance one variant's chains by ``num_sweeps`` full chromatic sweeps.
 
-    state:  [C, V+1] int32 (carried transposed [V+1, C] inside the loop)
-    halves: [2, C, V+1, K] float32 — split-half window counts (count=True)
+    state:  [C, V+1] int32 (old var order; permuted into [NVp, C] f32
+            inside, converted back at the end)
+    halves: [2, C, V+1, K] float32 — split-half window counts are ADDED
+            to the incoming buffer (count=True)
     num_sweeps / half_point: traced int scalars (no recompiles per size).
     """
     kdim = halves.shape[-1]
-    nc = enc["color_vars"].shape[0]
+    nc, g = enc["sw_kmask"].shape[:2]
+    c = state.shape[0]
     tables = enc["tables"]
-    xs_all = (
-        enc["color_vars"],
-        enc["cm_upd"],
-        (
-            enc["cm_scope_vars"],
-            enc["cm_other_strides"],
-            enc["cm_local_tables"],
-            enc["gb_offset"],
-            enc["gb_self_stride"],
-            enc["gb_scope_vars"],
-            enc["gb_scope_strides"],
-            enc["gb_mask"],
-            enc["cm_kmask"],
-        ),
-    )
-    kiota = jnp.arange(kdim, dtype=jnp.int32)
+    wbase = enc.get("sw_wbase")
+    xs_colors = [tuple(enc[k][ci] for k in _XS_KEYS) for ci in range(nc)]
+    kiota = jnp.arange(kdim, dtype=jnp.float32)
 
-    def color_body(carry, xsi):
-        state_t, dense_t, skey = carry
-        ci, (vars_g, upd, xs) = xsi
-        newv = _sample_color(state_t, tables, xs, jax.random.fold_in(skey, ci))
-        old = jnp.take(state_t, vars_g, axis=0)  # [G, C]
-        delta = jnp.where(upd[:, None], newv - old, 0)
-        # Row scatter-add: padded slots target the sentinel row with Δ=0,
-        # so duplicate indices are collision-free by construction.
-        state_t = state_t.at[vars_g].add(delta)
-        if count:
-            ok = (
-                (newv[:, None, :] == kiota[None, :, None])
-                & upd[:, None, None]
-            ).astype(dense_t.dtype)  # [G, K, C]
-            dense_t = dense_t.at[vars_g].add(ok)
-        return (state_t, dense_t, skey), None
+    state_p = jnp.take(state.T, enc["old_of_new"], axis=0).astype(jnp.float32)
 
-    def sweep_body(si, carry):
-        state_t, halves = carry
-        skey = jax.random.fold_in(key, si)
-        # [V+1, K, C]; fresh per sweep.  Derived from ``halves`` so it
-        # inherits the shard_map varying-axes annotation (a plain zeros
-        # literal would be replicated and break the scan carry type).
-        dense_t = jnp.zeros_like(halves[0].transpose(1, 2, 0))
-        (state_t, dense_t, _), _ = lax.scan(
-            color_body,
-            (state_t, dense_t, skey),
-            (jnp.arange(nc, dtype=jnp.int32), xs_all),
+    def run_colors(state_p, counts, skey, hsel):
+        for ci in range(nc):
+            wb = None if wbase is None else wbase[ci]
+            newv = _sample_color(
+                state_p, tables, xs_colors[ci], jax.random.fold_in(skey, ci), wb
+            )
+            state_p = lax.dynamic_update_slice(state_p, newv, (ci * g, 0))
+            if count:
+                ok = (newv[:, None, :] == kiota[None, :, None]).astype(counts.dtype)
+                blk = lax.dynamic_slice(
+                    counts, (hsel, ci * g, 0, 0), (1, g, kdim, c)
+                )
+                counts = lax.dynamic_update_slice(
+                    counts, blk + ok[None], (hsel, ci * g, 0, 0)
+                )
+        return state_p, counts
+
+    if count:
+        # the `+ halves[...]*0` term makes the accumulator inherit the
+        # shard_map varying-axes annotation (a plain zeros literal would
+        # be replicated and break the fori_loop carry type)
+        counts = (
+            jnp.zeros((2, nc * g + 1, kdim, c), dtype=halves.dtype)
+            + halves[0, 0, 0, 0] * 0
         )
-        if count:
-            dense = dense_t.transpose(2, 0, 1)  # [C, V+1, K]
-            hsel = (si >= half_point).astype(halves.dtype)
-            halves = halves + dense[None] * jnp.stack([1.0 - hsel, hsel])[
-                :, None, None, None
-            ]
-        return (state_t, halves)
 
-    state_t, halves = lax.fori_loop(
-        0, num_sweeps, sweep_body, (state.T, halves)
-    )
-    return state_t.T, halves
+        def sweep_body(si, carry):
+            state_p, counts = carry
+            skey = jax.random.fold_in(key, si)
+            hsel = (si >= half_point).astype(jnp.int32)
+            return run_colors(state_p, counts, skey, hsel)
+
+        state_p, counts = lax.fori_loop(
+            0, num_sweeps, sweep_body, (state_p, counts)
+        )
+        # map color-major slot counts back to the old variable order;
+        # ungrouped vars (evidence/collapsed) read the never-written zero row
+        mapped = jnp.take(counts, enc["slot_of_old"], axis=1)  # [2, V+1, K, C]
+        halves = halves + mapped.transpose(0, 3, 1, 2)
+    else:
+
+        def sweep_body(si, state_p):
+            skey = jax.random.fold_in(key, si)
+            return run_colors(state_p, None, skey, 0)[0]
+
+        state_p = lax.fori_loop(0, num_sweeps, sweep_body, state_p)
+
+    state_out = jnp.take(state_p, enc["new_of_old"], axis=0).astype(jnp.int32).T
+    return state_out, halves
 
 
 @partial(jax.jit, static_argnames=("count",), donate_argnums=(1, 2))

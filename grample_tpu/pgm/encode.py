@@ -36,15 +36,35 @@ size OA = table_size / card(var):
     factors): the device indexes the flat ``tables`` array directly.
     Rare by construction, so the serialized gather cost is bounded.
 
-All base-index arithmetic is int32 on device — exact by construction
-(no float matmul carries indices, so TPU bf16 truncation can't corrupt
-them).
+**Color-contiguous renumbering.**  The device sweep operates on a
+*permuted* variable space in which each chromatic group's variables
+occupy a contiguous block of rows: row of group-slot ``(ci, g)`` is
+``ci*G + g``, followed by one sentinel row and a tail block for
+ungrouped vars (evidence / collapsed).  TPU scatters are slow and XLA
+cannot prove our row-scatters collision-free; with this layout every
+state/count update in the sweep is a contiguous ``dynamic_update_slice``
+— no scatter exists anywhere on the hot path.  Host-side conversion
+arrays (``new_of_old`` / ``old_of_new`` / ``slot_of_old``) map between
+the layouts once per advance window, not per sweep.
 
-A sentinel padding variable lives at index V (card 1, never updated);
-all index padding points at it so scatters/gathers stay in-bounds and
-collision-free.  Shapes are *capacities*: every collapse variant of a
-model is padded to the same ``EncodeCaps`` so one compiled sweep serves
-all variants, stacked on a leading axis.
+**Base-index computation** has two device modes, chosen per model by
+:func:`sweep_mode`:
+
+  - ``"matmul"``: per-color constant stride matrices ``sw_wbase [NC,
+    G*F, NVp]`` turn the neighbor-state gather into one MXU matmul per
+    color (``base = Wbase @ state``).  All quantities are small exact
+    integers (strides are LOCAL mixed-radix, <= OA <= 1024; state <= 15)
+    so f32 HIGHEST-precision matmuls are exact.  This is the fast path:
+    measured ~1.7x over row-gathers on TPU v5e.
+  - ``"gather"``: int32 row-gathers (exact by construction), used when
+    the Wbase constants would be too large (very high-degree models,
+    e.g. Alchemy's blanket-60 vars).
+
+A sentinel padding variable lives at the row after the group blocks
+(card 1, never updated); all index padding points at it so gathers stay
+in-bounds and collision-free.  Shapes are *capacities*: every collapse
+variant of a model is padded to the same ``EncodeCaps`` so one compiled
+sweep serves all variants, stacked on a leading axis.
 """
 
 from __future__ import annotations
@@ -63,6 +83,10 @@ from grample_tpu.pgm.discrete import LOG_EPS, MAX_TABLE_SIZE, DiscreteModel, tab
 #: those go to the gather bank instead of inflating [*, OA, K] tensors.
 OA_DENSE_CAP = 1024
 
+#: Largest per-variant ``sw_wbase`` constant (bytes) before the sweep falls
+#: back from the MXU matmul base path to int32 row-gathers.
+WBASE_MAX_BYTES = 96 * 1024 * 1024
+
 
 @dataclasses.dataclass(frozen=True)
 class EncodeCaps:
@@ -77,6 +101,27 @@ class EncodeCaps:
     group_cap: int  # G: max vars per group
     oa_cap: int = 1  # OA: dense-bank local-table rows (<= OA_DENSE_CAP)
     gfac_cap: int = 0  # Fg: gather-bank factors per variable
+    tail_cap: int = 8  # ungrouped (evidence/collapsed) var rows
+
+    @property
+    def num_rows(self) -> int:
+        """Rows of the permuted device state: group blocks + sentinel + tail."""
+        return self.color_cap * self.group_cap + 1 + self.tail_cap
+
+    @property
+    def num_slots(self) -> int:
+        """Group-slot rows (the color-major count tensor's var axis)."""
+        return self.color_cap * self.group_cap
+
+    @property
+    def sentinel_row(self) -> int:
+        return self.color_cap * self.group_cap
+
+    @property
+    def sweep_mode(self) -> str:
+        """Base-index device path: MXU matmul constants or int32 gathers."""
+        wbase = self.color_cap * self.group_cap * self.adj_cap * self.num_rows * 4
+        return "matmul" if wbase <= WBASE_MAX_BYTES else "gather"
 
     def fits(self, other: "EncodeCaps") -> bool:
         return (
@@ -89,6 +134,7 @@ class EncodeCaps:
             and self.group_cap >= other.group_cap
             and self.oa_cap >= other.oa_cap
             and self.gfac_cap >= other.gfac_cap
+            and self.tail_cap >= other.tail_cap
         )
 
 
@@ -116,34 +162,39 @@ class EncodedModel:
     num_colors: int
     # Exact marginal for collapsed vars (uniform elsewhere), padded [V+1, K]
     exact_marginals: np.ndarray  # float64
+    # ---- layout maps (old var order <-> permuted device rows) -------------
+    new_of_old: np.ndarray = None  # [V+1] int32 -> device row
+    old_of_new: np.ndarray = None  # [NVp] int32 -> old var (padding -> V)
+    slot_of_old: np.ndarray = None  # [V+1] int32 -> count slot (else num_slots)
     # ---- dense color-major bank (the MXU sweep path) ----------------------
     # Seen from variable v and its j-th incident factor, the factor table
     # splits into OA "other assignments" × K own values: a LOCAL table.
     # Pre-gathered per chromatic group so the device lookup is one one-hot
-    # einsum on the MXU.
-    cm_scope_vars: np.ndarray = None  # [NC, G, F, S] int32 (own pos → sentinel)
-    cm_other_strides: np.ndarray = None  # [NC, G, F, S] int32 local mixed radix
-    cm_local_tables: np.ndarray = None  # [NC, G, F, OA, K] f32 log (padding 0)
-    cm_upd: np.ndarray = None  # [NC, G] bool
-    cm_kmask: np.ndarray = None  # [NC, G, K] bool
+    # einsum on the MXU.  Scope vars are in the PERMUTED numbering.
+    sw_scope_vars: np.ndarray = None  # [NC, G, F, S] int32 (own pos → sentinel)
+    sw_other_strides: np.ndarray = None  # [NC, G, F, S] int32 local mixed radix
+    sw_local_tables: np.ndarray = None  # [NC, G, F, OA, K] f32 log (padding 0)
+    sw_kmask: np.ndarray = None  # [NC, G, K] bool
+    sw_wbase: np.ndarray = None  # [NC, G*F, NVp] f32 (matmul mode only)
     # ---- gather color-major bank (giant collapse factors) -----------------
     gb_offset: np.ndarray = None  # [NC, G, Fg] int32 into ``tables``
     gb_self_stride: np.ndarray = None  # [NC, G, Fg] int32
-    gb_scope_vars: np.ndarray = None  # [NC, G, Fg, S] int32
+    gb_scope_vars: np.ndarray = None  # [NC, G, Fg, S] int32 (permuted)
     gb_scope_strides: np.ndarray = None  # [NC, G, Fg, S] int32
     gb_mask: np.ndarray = None  # [NC, G, Fg] bool
 
     def arrays(self) -> dict:
         """The fields the device sweep consumes, as a dict of numpy arrays."""
-        return dict(
+        out = dict(
             cards=self.cards,
             fixed=self.fixed,
-            color_vars=self.color_vars,
-            cm_scope_vars=self.cm_scope_vars,
-            cm_other_strides=self.cm_other_strides,
-            cm_local_tables=self.cm_local_tables,
-            cm_upd=self.cm_upd,
-            cm_kmask=self.cm_kmask,
+            new_of_old=self.new_of_old,
+            old_of_new=self.old_of_new,
+            slot_of_old=self.slot_of_old,
+            sw_scope_vars=self.sw_scope_vars,
+            sw_other_strides=self.sw_other_strides,
+            sw_local_tables=self.sw_local_tables,
+            sw_kmask=self.sw_kmask,
             tables=self.tables,
             gb_offset=self.gb_offset,
             gb_self_stride=self.gb_self_stride,
@@ -151,6 +202,9 @@ class EncodedModel:
             gb_scope_strides=self.gb_scope_strides,
             gb_mask=self.gb_mask,
         )
+        if self.sw_wbase is not None:
+            out["sw_wbase"] = self.sw_wbase
+        return out
 
     def legacy_arrays(self) -> dict:
         """Var-major adjacency view (reference-shaped; tests/host tools)."""
@@ -209,7 +263,9 @@ def compute_caps(
         tab_total += int(f.table.size)
 
     colors = color_graph(v, [f.scope for f in m.factors])
-    groups = color_groups(colors, np.asarray(m.free_mask), group_cap or 0)
+    if group_cap <= 0:
+        group_cap = pick_group_cap(colors, np.asarray(m.free_mask))
+    groups = color_groups(colors, np.asarray(m.free_mask), group_cap)
     gcap = max((g.size for g in groups), default=1)
 
     collapse_scope = 0
@@ -238,17 +294,42 @@ def compute_caps(
                         else:
                             gfac_cap = max(gfac_cap, int(ngfac[u]) + 1)
 
+    ungrouped = v - sum(int(g.size) for g in groups)
     return EncodeCaps(
         num_vars=v,
         max_card=m.max_card,
         adj_cap=int(nfac.max()) + headroom_factors,
         scope_cap=max(max_scope, collapse_scope),
         table_cap=_roundup(tab_total + max(collapse_table, headroom_table), 1024),
-        color_cap=int(colors.max()) + 1 + 4,
+        color_cap=len(groups) + (2 if collapse_headroom else 0),
         group_cap=gcap,
         oa_cap=oa_cap,
         gfac_cap=gfac_cap,
+        tail_cap=_roundup(ungrouped + (16 if collapse_headroom else 1), 8),
     )
+
+
+def pick_group_cap(colors: np.ndarray, free_mask: np.ndarray) -> int:
+    """Balanced chromatic group size: split oversized color classes.
+
+    Any subset of an independent set is independent, so a color class may
+    be updated in chunks; splitting keeps the padded [NC, G] slot grid
+    (and the permuted state/count rows, sized color_cap*group_cap) close
+    to the true free-variable count when class sizes are skewed (e.g.
+    Alchemy_11: one class of ~380 plus 19 tiny ones).
+    """
+    sizes = []
+    ncolors = int(colors.max()) + 1 if colors.size else 0
+    for c in range(ncolors):
+        n = int(((colors == c) & free_mask).sum())
+        if n:
+            sizes.append(n)
+    if not sizes:
+        return 1
+    total = sum(sizes)
+    # allow 2x imbalance over a perfectly balanced split before chunking
+    target = _roundup(max(8, (total + len(sizes) - 1) // len(sizes)), 8) * 2
+    return min(max(sizes), target)
 
 
 def merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
@@ -265,6 +346,7 @@ def merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
         group_cap=max(a.group_cap, b.group_cap),
         oa_cap=max(a.oa_cap, b.oa_cap),
         gfac_cap=max(a.gfac_cap, b.gfac_cap),
+        tail_cap=max(a.tail_cap, b.tail_cap),
     )
 
 
@@ -405,14 +487,49 @@ def encode_model(
     exact[:v, : m.marginals.shape[1]] = m.marginals
     exact[sent, 0] = 1.0
 
+    # ---- color-contiguous renumbering (see module doc) --------------------
+    NC, NVp = caps.color_cap, caps.num_rows
+    sent_row = caps.sentinel_row
+    new_of_old = np.full(v + 1, sent_row, dtype=np.int32)
+    slot_of_old = np.full(v + 1, caps.num_slots, dtype=np.int32)
+    for ci, g in enumerate(groups):
+        new_of_old[g] = ci * gcap + np.arange(g.size)
+        slot_of_old[g] = ci * gcap + np.arange(g.size)
+    ungrouped = [u for u in range(v) if slot_of_old[u] == caps.num_slots]
+    if len(ungrouped) > caps.tail_cap:
+        raise ValueError(
+            f"{len(ungrouped)} ungrouped vars exceed tail cap {caps.tail_cap}"
+        )
+    for t, u in enumerate(ungrouped):
+        new_of_old[u] = sent_row + 1 + t
+    old_of_new = np.full(NVp, sent, dtype=np.int32)
+    old_of_new[new_of_old[:v]] = np.arange(v)
+
     # ---- color-major views (the device sweep's whole topology) -----------
-    cm_scope_vars = d_scope_vars[color_vars]  # [NC, G, F, S]
-    cm_other_strides = d_other_strides[color_vars]
-    cm_local_tables = d_local_tables[color_vars]  # [NC, G, F, OA, K]
-    cm_upd = color_mask.copy()  # groups hold free vars only
-    cm_kmask = (
+    # Scope vars renumbered into the permuted space; padding entries map
+    # the old sentinel to the device sentinel row (stride 0 everywhere).
+    sw_scope_vars = new_of_old[d_scope_vars[color_vars]]  # [NC, G, F, S]
+    sw_other_strides = d_other_strides[color_vars]
+    sw_local_tables = d_local_tables[color_vars]  # [NC, G, F, OA, K]
+    sw_kmask = (
         np.arange(k, dtype=np.int32)[None, None, :] < cards[color_vars][..., None]
     ) & color_mask[..., None]
+
+    sw_wbase = None
+    if caps.sweep_mode == "matmul":
+        # base[g,f] = sum_s stride[g,f,s] * state[scope[g,f,s]] as one
+        # constant matrix per color: the MXU base path.  Entries are local
+        # mixed-radix strides (<= oa_cap <= 1024), exact in f32.
+        sw_wbase = np.zeros((NC, gcap * F, NVp), dtype=np.float32)
+        shape = sw_scope_vars.shape  # [NC, G, F, S]
+        ci_idx = np.broadcast_to(np.arange(NC)[:, None, None, None], shape)
+        row = np.arange(gcap)[:, None] * F + np.arange(F)[None, :]  # [G, F]
+        row_idx = np.broadcast_to(row[None, :, :, None], shape)
+        np.add.at(
+            sw_wbase,
+            (ci_idx, row_idx, sw_scope_vars),
+            sw_other_strides.astype(np.float32),
+        )
 
     return EncodedModel(
         caps=caps,
@@ -430,14 +547,17 @@ def encode_model(
         color_mask=color_mask,
         num_colors=len(groups),
         exact_marginals=exact,
-        cm_scope_vars=cm_scope_vars,
-        cm_other_strides=cm_other_strides,
-        cm_local_tables=cm_local_tables,
-        cm_upd=cm_upd,
-        cm_kmask=cm_kmask,
+        new_of_old=new_of_old,
+        old_of_new=old_of_new,
+        slot_of_old=slot_of_old,
+        sw_scope_vars=sw_scope_vars.astype(np.int32),
+        sw_other_strides=sw_other_strides.astype(np.int32),
+        sw_local_tables=sw_local_tables,
+        sw_kmask=sw_kmask,
+        sw_wbase=sw_wbase,
         gb_offset=g_offset[color_vars],
         gb_self_stride=g_self_stride[color_vars],
-        gb_scope_vars=g_scope_vars[color_vars],
+        gb_scope_vars=new_of_old[g_scope_vars[color_vars]],
         gb_scope_strides=g_scope_strides[color_vars],
         gb_mask=g_mask[color_vars],
     )

@@ -74,7 +74,9 @@ class ChainGroup:
         self.caps = caps or compute_caps(
             base_model, group_cap=group_cap, collapse_headroom=collapse_headroom
         )
-        self.key = jax.random.key(seed)
+        # rbg: counter-based, vastly cheaper per bit on TPU than threefry
+        # (the sweep draws one uniform per site); deterministic per seed.
+        self.key = jax.random.key(seed, impl="rbg")
         self._step = 0
 
         self.variants: List[DiscreteModel] = []

@@ -75,22 +75,27 @@ def test_conditional_logits_match_bruteforce(rng):
 def _color_xs(enc, ci):
     """The per-color xs tuple the sweep's _color_logits consumes."""
     return (
-        jnp.asarray(enc.cm_scope_vars[ci]),
-        jnp.asarray(enc.cm_other_strides[ci]),
-        jnp.asarray(enc.cm_local_tables[ci]),
+        jnp.asarray(enc.sw_scope_vars[ci]),
+        jnp.asarray(enc.sw_other_strides[ci]),
+        jnp.asarray(enc.sw_local_tables[ci]),
         jnp.asarray(enc.gb_offset[ci]),
         jnp.asarray(enc.gb_self_stride[ci]),
         jnp.asarray(enc.gb_scope_vars[ci]),
         jnp.asarray(enc.gb_scope_strides[ci]),
         jnp.asarray(enc.gb_mask[ci]),
-        jnp.asarray(enc.cm_kmask[ci]),
+        jnp.asarray(enc.sw_kmask[ci]),
     )
 
 
+def _perm_state(enc, state):
+    """Old-order [C, V+1] int32 state -> permuted [NVp, C] f32 sweep state."""
+    return jnp.asarray(state.T[enc.old_of_new].astype(np.float32))
+
+
 def test_color_logits_match_bruteforce(rng):
-    """The sweep path (gather base + one-hot MXU contraction, plus the
-    flat-table gather bank) must agree with direct factor evaluation for
-    every color group's vars."""
+    """The sweep path (both base modes: the Wbase MXU matmul and the
+    row-gather, plus the one-hot local-table contraction) must agree with
+    direct factor evaluation for every color group's vars."""
     from grample_tpu.ops.gibbs_xla import _color_logits
 
     m = rand_model(rng)
@@ -99,17 +104,21 @@ def test_color_logits_match_bruteforce(rng):
     state = np.zeros((4, v1), dtype=np.int32)
     for c in range(4):
         state[c, :-1] = [rng.integers(0, int(k)) for k in m.cards]
-    state_t = jnp.asarray(state.T)  # [V+1, C]
+    state_p = _perm_state(enc, state)
     tables = jnp.asarray(enc.tables)
+    assert enc.sw_wbase is not None  # tiny model: matmul mode
     for ci in range(enc.num_colors):
-        logits = np.asarray(_color_logits(state_t, tables, _color_xs(enc, ci)))
-        for g in range(enc.color_vars.shape[1]):
-            if not enc.cm_upd[ci, g]:
-                continue
-            var = int(enc.color_vars[ci, g])
-            want = brute_logits(m, state[0], var)
-            got = logits[g, : int(m.cards[var]), 0]
-            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        for wb in (None, jnp.asarray(enc.sw_wbase[ci])):
+            logits = np.asarray(
+                _color_logits(state_p, tables, _color_xs(enc, ci), wb)
+            )
+            for g in range(enc.color_vars.shape[1]):
+                if not enc.color_mask[ci, g]:
+                    continue
+                var = int(enc.color_vars[ci, g])
+                want = brute_logits(m, state[0], var)
+                got = logits[g, : int(m.cards[var]), 0]
+                np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_color_logits_gather_bank(rng):
@@ -133,12 +142,13 @@ def test_color_logits_gather_bank(rng):
     state = np.zeros((2, v + 1), dtype=np.int32)
     state[0, :-1] = rng.integers(0, 2, size=v)
     state[1, :-1] = rng.integers(0, 2, size=v)
-    state_t = jnp.asarray(state.T)
+    state_p = _perm_state(enc, state)
     tables = jnp.asarray(enc.tables)
     for ci in range(enc.num_colors):
-        logits = np.asarray(_color_logits(state_t, tables, _color_xs(enc, ci)))
+        wb = None if enc.sw_wbase is None else jnp.asarray(enc.sw_wbase[ci])
+        logits = np.asarray(_color_logits(state_p, tables, _color_xs(enc, ci), wb))
         for g in range(enc.color_vars.shape[1]):
-            if not enc.cm_upd[ci, g]:
+            if not enc.color_mask[ci, g]:
                 continue
             var = int(enc.color_vars[ci, g])
             for c in range(2):

@@ -153,11 +153,15 @@ def test_encode_variant_stacking():
     m2.fixed[0] = 1
     e2 = encode_model(m2, caps)
     stack = stack_variants([e1, e2])
-    assert stack["cm_local_tables"].shape[0] == 2
-    assert stack["cm_upd"].shape[0] == 2
+    assert stack["sw_local_tables"].shape[0] == 2
+    assert stack["sw_kmask"].shape[0] == 2
     # var 0 fixed in variant 2: it must appear in no update group there
-    assert (e2.color_vars[e2.cm_upd] != 0).all()
-    assert (e1.color_vars[e1.cm_upd] == 0).any()
+    assert (e2.color_vars[e2.color_mask] != 0).all()
+    assert (e1.color_vars[e1.color_mask] == 0).any()
+    # layout maps are self-consistent: every real var round-trips
+    for enc in (e1, e2):
+        v = enc.caps.num_vars
+        assert (enc.old_of_new[enc.new_of_old[:v]] == np.arange(v)).all()
 
 
 def test_caps_fit_full_suite_models():
