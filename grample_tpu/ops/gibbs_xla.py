@@ -91,13 +91,23 @@ def _color_logits(state_p, tables, xs, wbase=None):
 
     # ---- dense bank -------------------------------------------------------
     if wbase is not None:
-        base = jnp.einsum(
-            "rv,vc->rc",
-            wbase,
-            state_p,
-            precision=HIGHEST,
-            preferred_element_type=jnp.float32,
-        ).reshape(g, f, c)
+        if oa <= 256:
+            # all quantities are integers <= 256: exact in bf16, and the
+            # MXU runs bf16 at full rate (f32 HIGHEST costs 3 passes)
+            base = jnp.einsum(
+                "rv,vc->rc",
+                wbase.astype(jnp.bfloat16),
+                state_p.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).reshape(g, f, c)
+        else:
+            base = jnp.einsum(
+                "rv,vc->rc",
+                wbase,
+                state_p,
+                precision=HIGHEST,
+                preferred_element_type=jnp.float32,
+            ).reshape(g, f, c)
     else:
         rows = jnp.take(state_p, scope_vars.reshape(-1), axis=0)
         rows = rows.reshape(g, f, -1, c)  # [G, F, S, C]

@@ -201,6 +201,9 @@ class ShardedChainGroup(ChainGroup):
 
     def __init__(self, *args, mesh: Optional[Mesh] = None, **kw):
         self.mesh = mesh or chain_mesh()
+        # the sharded advance drives the XLA sweep under shard_map; the
+        # Pallas kernel is single-chip only for now
+        kw["use_pallas"] = False
         super().__init__(*args, **kw)
         cdim = self.mesh.shape[CHAIN_AXIS]
         if self.cpv % cdim != 0:

@@ -105,8 +105,9 @@ class EncodeCaps:
 
     @property
     def num_rows(self) -> int:
-        """Rows of the permuted device state: group blocks + sentinel + tail."""
-        return self.color_cap * self.group_cap + 1 + self.tail_cap
+        """Rows of the permuted device state: group blocks + sentinel + tail
+        (rounded to f32 sublane tiles; extra rows are dead)."""
+        return _roundup(self.color_cap * self.group_cap + 1 + self.tail_cap, 8)
 
     @property
     def num_slots(self) -> int:
@@ -266,7 +267,8 @@ def compute_caps(
     if group_cap <= 0:
         group_cap = pick_group_cap(colors, np.asarray(m.free_mask))
     groups = color_groups(colors, np.asarray(m.free_mask), group_cap)
-    gcap = max((g.size for g in groups), default=1)
+    # round the slot width to f32 sublane tiles (Pallas alignment)
+    gcap = _roundup(max((g.size for g in groups), default=1), 8)
 
     collapse_scope = 0
     collapse_table = 0
@@ -325,11 +327,12 @@ def pick_group_cap(colors: np.ndarray, free_mask: np.ndarray) -> int:
         if n:
             sizes.append(n)
     if not sizes:
-        return 1
+        return 8
     total = sum(sizes)
-    # allow 2x imbalance over a perfectly balanced split before chunking
+    # allow 2x imbalance over a perfectly balanced split before chunking;
+    # multiples of 8 so group blocks align to f32 sublane tiles
     target = _roundup(max(8, (total + len(sizes) - 1) // len(sizes)), 8) * 2
-    return min(max(sizes), target)
+    return _roundup(min(max(sizes), target), 8)
 
 
 def merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:

@@ -31,6 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from grample_tpu.metrics.psrf import chain_convergence
+from grample_tpu.ops.gibbs_pallas import (
+    advance_chains_pallas,
+    pallas_eligible,
+    pallas_stack,
+    pick_block,
+)
 from grample_tpu.ops.gibbs_xla import advance_chains
 from grample_tpu.pgm.discrete import DiscreteModel
 from grample_tpu.pgm.encode import (
@@ -65,6 +71,7 @@ class ChainGroup:
         group_cap: int = 0,
         max_variants: int = MAX_VARIANTS,
         collapse_headroom: bool = False,
+        use_pallas: Optional[bool] = None,
     ):
         base_model.check()
         self.base = base_model
@@ -78,6 +85,8 @@ class ChainGroup:
         # (the sweep draws one uniform per site); deterministic per seed.
         self.key = jax.random.key(seed, impl="rbg")
         self._step = 0
+        self._refresh_pallas(use_pallas)
+        self._want_pallas = use_pallas
 
         self.variants: List[DiscreteModel] = []
         self.encs: List[EncodedModel] = []
@@ -110,6 +119,13 @@ class ChainGroup:
         self._step += 1
         return jax.random.fold_in(self.key, self._step)
 
+    def _refresh_pallas(self, want: Optional[bool]):
+        """Re-evaluate Pallas-kernel eligibility (caps may have grown)."""
+        auto = pallas_eligible(self.caps) and self.cpv % pick_block(self.caps) == 0
+        self.use_pallas = auto if want is None else (want and auto)
+        self.pal_block = pick_block(self.caps) if self.use_pallas else 0
+        self.pal_stack = None
+
     def _encode(self, model: DiscreteModel) -> EncodedModel:
         """Encode against shared caps, growing caps (and re-encoding all
         existing variants) if the new variant doesn't fit."""
@@ -118,6 +134,7 @@ class ChainGroup:
         except ValueError:
             grown = merge_caps(self.caps, compute_caps(model))
             self.caps = grown
+            self._refresh_pallas(self._want_pallas)
             self.encs = [encode_model(mv, grown) for mv in self.variants]
             self._restack()
             return encode_model(model, grown)
@@ -167,6 +184,11 @@ class ChainGroup:
         padded = list(self.encs) + [base_enc] * (self.slot_cap - len(self.encs))
         stack_np = stack_variants(padded[: self.slot_cap])
         self.stack = {k: jnp.asarray(v) for k, v in stack_np.items()}
+        if self.use_pallas:
+            self.pal_stack = {
+                k: jnp.asarray(v)
+                for k, v in pallas_stack(padded[: self.slot_cap]).items()
+            }
 
         old = None if self.state is None else np.asarray(self.state)
         new_state = np.stack(
@@ -216,6 +238,12 @@ class ChainGroup:
                 k: self.stack[k].at[slot].set(jnp.asarray(v))
                 for k, v in arrays.items()
             }
+            if self.use_pallas:
+                pal = pallas_stack([enc])
+                self.pal_stack = {
+                    k: self.pal_stack[k].at[slot].set(jnp.asarray(v[0]))
+                    for k, v in pal.items()
+                }
         # (re)initialize this slot's chains on the host
         st = self._host_init_state(enc, warm_marginals)
         self.state = self.state.at[slot].set(jnp.asarray(st))
@@ -230,14 +258,23 @@ class ChainGroup:
         m[: self.num_variants] = True
         return m
 
+    def _advance_fn(self, sweeps: int, half: int, count: bool):
+        if self.use_pallas:
+            self.state, self.halves = advance_chains_pallas(
+                self.stack, self.pal_stack, self.state, self.halves,
+                self._next_key(), sweeps, half, count=count, cb=self.pal_block,
+            )
+        else:
+            self.state, self.halves = advance_chains(
+                self.stack, self.state, self.halves, self._next_key(), sweeps,
+                half, count=count,
+            )
+
     def burn(self, sweeps: int):
         """Uncounted sweeps for all chains (burn-in)."""
         if sweeps <= 0 or self.slot_cap == 0:
             return
-        self.state, self.halves = advance_chains(
-            self.stack, self.state, self.halves, self._next_key(), int(sweeps),
-            int(sweeps), count=False,
-        )
+        self._advance_fn(int(sweeps), int(sweeps), count=False)
         self.total_sweeps += sweeps
 
     def advance(self, sweeps: Optional[int] = None) -> int:
@@ -248,10 +285,7 @@ class ChainGroup:
         """
         sweeps = int(sweeps or self.cw)
         self.halves = jnp.zeros_like(self.halves)
-        self.state, self.halves = advance_chains(
-            self.stack, self.state, self.halves, self._next_key(), sweeps,
-            sweeps // 2, count=True,
-        )
+        self._advance_fn(sweeps, sweeps // 2, count=True)
         delta = np.asarray(self.halves.sum(axis=(1, 2)), dtype=np.float64)
         active = self._chain_mask()
         delta[~active] = 0.0
