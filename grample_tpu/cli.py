@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--mar-out", default="", help="write final MAR solution to file")
     s.add_argument("--checkpoint", default="", help="checkpoint file path")
     s.add_argument("--checkpoint-secs", type=float, default=60.0)
+    s.add_argument("--mesh", default="off",
+                   help="device mesh: off | auto | VxC (variants x chains), e.g. 2x4")
+    s.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed for multi-host runs")
+    s.add_argument("--reserve", type=int, default=0,
+                   help="pre-size variant slot capacity (avoids mid-run recompiles)")
 
     c = sub.add_parser("collapse", help="validate exact collapse per variable", parents=[common])
     c.add_argument("-m", "--model", required=True)
@@ -76,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_sample(args) -> int:
+    if args.distributed:
+        # multi-host: join the cluster before any device query.  On TPU
+        # pods coordinator/process env is auto-detected; elsewhere set
+        # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+        import jax
+
+        jax.distributed.initialize()
+
     from grample_tpu.monitor import Monitor
     from grample_tpu.sampler.engine import Engine, EngineConfig
 
@@ -101,6 +115,9 @@ def cmd_sample(args) -> int:
         mar_out=args.mar_out,
         checkpoint_path=args.checkpoint,
         checkpoint_secs=args.checkpoint_secs,
+        mesh=args.mesh,
+        distributed=args.distributed,
+        reserve_slots=args.reserve,
     )
     monitor = None
     if args.addr:

@@ -257,6 +257,11 @@ def _pallas_window(pal, state_p, seed, num_sweeps, half_point, count: bool,
         ],
         out_shape=out_shapes,
         input_output_aliases={3: 0},
+        # raise Mosaic's 16M default scoped-vmem cap: v5e has 128M VMEM
+        # and the working set is bounded by VMEM_BUDGET at block choice
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=jax.default_backend() != "tpu",
     )(
         scalar(seed),

@@ -216,18 +216,31 @@ class ShardedChainGroup(ChainGroup):
     def _shard(self, x, spec):
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
+    def _sharded_zeros(self, shape, spec):
+        """Allocate zeros directly with the target sharding — never
+        materialized on a single device first (ADVICE r1)."""
+        return jax.jit(
+            lambda: jnp.zeros(shape, jnp.float32),
+            out_shardings=NamedSharding(self.mesh, spec),
+        )()
+
     def _restack(self, new_slot_cap=None):
-        super()._restack(new_slot_cap)
+        # slot capacity must tile the mesh's variant extent
+        if new_slot_cap is None and self.slot_cap == 0:
+            return super()._restack(None)
+        vdim = self.mesh.shape[VARIANT_AXIS]
+        cap = self.slot_cap if new_slot_cap is None else new_slot_cap
+        cap = ((max(cap, 1) + vdim - 1) // vdim) * vdim
+        super()._restack(cap)
         if self.stack is None:
             return
-        vdim = self.mesh.shape[VARIANT_AXIS]
-        if self.slot_cap % vdim != 0:
-            # grow capacity to the mesh's variant extent
-            cap = ((self.slot_cap + vdim - 1) // vdim) * vdim
-            super()._restack(cap)
         self.stack = {k: self._shard(v, ENC_SPEC) for k, v in self.stack.items()}
         self.state = self._shard(self.state, STATE_SPEC)
-        self.halves = self._shard(self.halves, HALVES_SPEC)
+
+    def _alloc_halves(self):
+        return self._sharded_zeros(
+            (self.slot_cap, 2, self.cpv, self.v1, self.kdim), HALVES_SPEC
+        )
 
     def add_variant(self, model, burn_sweeps=0, warm_marginals=None):
         slot = super().add_variant(model, burn_sweeps, warm_marginals)
@@ -249,12 +262,9 @@ class ShardedChainGroup(ChainGroup):
 
     def advance(self, sweeps=None) -> int:
         sweeps = int(sweeps or self.cw)
-        self.halves = self._shard(
-            jnp.zeros(
-                (self.slot_cap, 2, self.cpv, self.v1, self.kdim), jnp.float32
-            ),
-            HALVES_SPEC,
-        )
+        # zeros_like preserves the HALVES_SPEC sharding — no single-device
+        # transient (ADVICE r1)
+        self.halves = jnp.zeros_like(self.halves)
         self.state, self.halves, delta = sharded_advance(
             self.mesh, self.state, self.halves, self.stack, self._next_key(),
             sweeps, sweeps // 2, count=True,

@@ -78,10 +78,12 @@ from grample_tpu.pgm.coloring import color_graph, color_groups, verify_coloring
 from grample_tpu.pgm.discrete import LOG_EPS, MAX_TABLE_SIZE, DiscreteModel, table_strides
 
 #: Largest local-table row count the dense (MXU one-hot) path materializes.
-#: Every base model in the reference suite fits (max local table 512,
-#: SURVEY.md §6); only collapse-replacement factors can exceed it, and
-#: those go to the gather bank instead of inflating [*, OA, K] tensors.
-OA_DENSE_CAP = 1024
+#: Nearly every base factor in the reference suite fits (SURVEY.md §6);
+#: bigger local tables (giant collapse replacements, dv-rel's 1024-entry
+#: tables) go to the gather bank instead of inflating the padded
+#: [*, OA, K] tensors.  256 also keeps base indices bf16-exact, which the
+#: MXU base matmul and the Pallas kernel rely on for full-rate matmuls.
+OA_DENSE_CAP = 256
 
 #: Largest per-variant ``sw_wbase`` constant (bytes) before the sweep falls
 #: back from the MXU matmul base path to int32 row-gathers.

@@ -168,6 +168,12 @@ class ChainGroup:
         fixedv = np.asarray(enc.fixed, dtype=np.int32)
         return np.where(fixedv[None, :] >= 0, fixedv[None, :], draw)
 
+    def _alloc_halves(self):
+        """Window count buffer (subclasses allocate it sharded)."""
+        return jnp.zeros(
+            (self.slot_cap, 2, self.cpv, self.v1, self.kdim), dtype=jnp.float32
+        )
+
     def reserve(self, n_slots: int):
         """Pre-size slot capacity to avoid intermediate restacks/compiles."""
         cap = _next_pow2(max(1, n_slots))
@@ -201,9 +207,7 @@ class ChainGroup:
             n = min(old.shape[0], self.slot_cap)
             new_state[:n, :, :] = old[:n, :, :]
         self.state = jnp.asarray(new_state)
-        self.halves = jnp.zeros(
-            (self.slot_cap, 2, self.cpv, self.v1, self.kdim), dtype=jnp.float32
-        )
+        self.halves = self._alloc_halves()
         old_tot = self.totals
         self.totals = np.zeros((self.slot_cap, self.v1, self.kdim), dtype=np.float64)
         if old_tot is not None:

@@ -57,6 +57,18 @@ class EngineConfig:
     checkpoint_secs: float = 60.0
     resume: bool = False
     max_variants: int = MAX_VARIANTS
+    # pre-size variant slots (0 = just the starting chains).  Adaptive
+    # runs that will grow to many variants should reserve up front: slot
+    # growth re-stacks device arrays and recompiles the sweep per
+    # power-of-two step, which on TPU costs seconds-to-minutes each.
+    reserve_slots: int = 0
+    # device mesh: "off" = single-device ChainGroup; "auto" = shard over
+    # all visible devices when more than one; "VxC" (e.g. "2x4") = explicit
+    # (variants, chains) mesh shape
+    mesh: str = "off"
+    # initialize jax.distributed (multi-host: coordinator/process env or
+    # TPU pod metadata) before touching devices
+    distributed: bool = False
 
     def resolve_seed(self) -> int:
         if self.seed >= 1:
@@ -145,17 +157,11 @@ class Engine:
             f"maxsecs={cfg.max_secs} maxiters={cfg.max_iters}"
         )
 
-        group = ChainGroup(
-            model,
-            chains_per_variant=cfg.chains_per_variant,
-            converge_window=cw_sweeps,
-            seed=seed,
-            max_variants=cfg.max_variants,
-        )
+        group = self._make_group(cfg, model, cw_sweeps, seed)
 
         rng = np.random.default_rng(seed)
         self.log(f"Creating chains and performing burn-in ({burn_sweeps} sweeps)")
-        group.reserve(n_slots)
+        group.reserve(max(n_slots, cfg.reserve_slots))
         for slot in range(n_slots):
             if cfg.sampler == "simple" or cfg.sampler == "adaptive":
                 group.add_variant(model)
@@ -346,6 +352,45 @@ class Engine:
                 }
             )
         )
+
+    def _make_group(self, cfg: EngineConfig, model, cw_sweeps: int, seed: int):
+        """ChainGroup, or ShardedChainGroup over a device mesh.
+
+        Sharded mode re-expresses the reference's goroutine-per-chain
+        parallelism (``sampler/chain.go:197-215``) as the
+        ``(variants, chains)`` mesh of ``parallel/mesh.py``: sweeps run
+        communication-free under shard_map; MergeChains/PSRF reductions
+        ride ICI collectives.
+        """
+        import jax
+
+        kw = dict(
+            chains_per_variant=cfg.chains_per_variant,
+            converge_window=cw_sweeps,
+            seed=seed,
+            max_variants=cfg.max_variants,
+            # adaptive/collapsed runs add collapse variants later: size the
+            # caps for them now so variant encoding never forces a
+            # re-encode + recompile mid-run
+            collapse_headroom=cfg.sampler in ("adaptive", "collapsed"),
+        )
+        use_mesh = cfg.mesh not in ("", "off") and (
+            cfg.mesh != "auto" or len(jax.devices()) > 1
+        )
+        if not use_mesh:
+            return ChainGroup(model, **kw)
+
+        from grample_tpu.parallel.mesh import ShardedChainGroup, chain_mesh
+
+        if cfg.mesh == "auto":
+            mesh = chain_mesh()
+        else:
+            vways, _, cways = cfg.mesh.partition("x")
+            mesh = chain_mesh(
+                n_devices=int(vways) * int(cways), variant_ways=int(vways)
+            )
+        self.log(f"device mesh: {dict(mesh.shape)} over {mesh.size} devices")
+        return ShardedChainGroup(model, mesh=mesh, **kw)
 
     def save_checkpoint(self, group: ChainGroup):
         from grample_tpu.sampler.checkpoint import save_checkpoint
