@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--mar-out", default="", help="write final MAR solution to file")
     s.add_argument("--checkpoint", default="", help="checkpoint file path")
     s.add_argument("--checkpoint-secs", type=float, default=60.0)
+    s.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists (budgets continue)")
     s.add_argument("--mesh", default="off",
                    help="device mesh: off | auto | VxC (variants x chains), e.g. 2x4")
     s.add_argument("--distributed", action="store_true",
@@ -115,6 +117,7 @@ def cmd_sample(args) -> int:
         mar_out=args.mar_out,
         checkpoint_path=args.checkpoint,
         checkpoint_secs=args.checkpoint_secs,
+        resume=args.resume,
         mesh=args.mesh,
         distributed=args.distributed,
         reserve_slots=args.reserve,

@@ -114,6 +114,26 @@ class ErrorSuite:
             f"JS(mean={self.mean_js:.6f} max={self.max_js:.6f})"
         )
 
+    def report(self) -> str:
+        """Long form with −log₂ views (reference errorReport,
+        ``cmd/root.go:256-306``: higher = better, ~bits of accuracy)."""
+
+        def nl2(x: float) -> float:
+            return -math.log2(max(x, 1e-300))
+
+        lines = ["  Metric          Mean       -lg(M)     Max        -lg(X)"]
+        for title, mean, mx in (
+            ("MeanAbsError", self.mean_mean_abs, self.max_mean_abs),
+            ("MaxAbsError", self.mean_max_abs, self.max_max_abs),
+            ("Hellinger", self.mean_hellinger, self.max_hellinger),
+            ("JS Diverge", self.mean_js, self.max_js),
+        ):
+            lines.append(
+                f"  {title:<14}  {mean:<9.6f}  {nl2(mean):<9.4f}  "
+                f"{mx:<9.6f}  {nl2(mx):<9.4f}"
+            )
+        return "\n".join(lines)
+
 
 def error_suite(m1, m2, cards, fixed1=None, fixed2=None) -> ErrorSuite:
     """Compute all 8 summary metrics between two padded marginal sets.

@@ -251,6 +251,16 @@ class ShardedChainGroup(ChainGroup):
         return slot
 
     # -- sharded compute ----------------------------------------------------
+    def warmup(self):
+        if self.slot_cap == 0:
+            return
+        step = self._step
+        self.state, self.halves, _ = sharded_advance(
+            self.mesh, self.state, self.halves, self.stack, self._next_key(),
+            0, 0, count=True,
+        )
+        self._step = step
+
     def burn(self, sweeps: int):
         if sweeps <= 0 or self.slot_cap == 0:
             return
@@ -261,7 +271,7 @@ class ShardedChainGroup(ChainGroup):
         self.total_sweeps += sweeps
 
     def advance(self, sweeps=None) -> int:
-        sweeps = int(sweeps or self.cw)
+        sweeps = self.cw if sweeps is None else int(sweeps)
         # zeros_like preserves the HALVES_SPEC sharding — no single-device
         # transient (ADVICE r1)
         self.halves = jnp.zeros_like(self.halves)

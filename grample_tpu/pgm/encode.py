@@ -53,12 +53,13 @@ the layouts once per advance window, not per sweep.
   - ``"matmul"``: per-color constant stride matrices ``sw_wbase [NC,
     G*F, NVp]`` turn the neighbor-state gather into one MXU matmul per
     color (``base = Wbase @ state``).  All quantities are small exact
-    integers (strides are LOCAL mixed-radix, <= OA <= 1024; state <= 15)
-    so f32 HIGHEST-precision matmuls are exact.  This is the fast path:
-    measured ~1.7x over row-gathers on TPU v5e.
+    integers (strides are LOCAL mixed-radix, <= OA_DENSE_CAP; state
+    <= 15), exact even in bf16 matmuls.  This is the fast path: measured
+    ~1.7x over row-gathers on TPU v5e.
   - ``"gather"``: int32 row-gathers (exact by construction), used when
-    the Wbase constants would be too large (very high-degree models,
-    e.g. Alchemy's blanket-60 vars).
+    the Wbase constants (per variant slot!) would blow the HBM budget —
+    very high-degree models (Alchemy's blanket-60 vars) or many-variant
+    adaptive runs on large nets.
 
 A sentinel padding variable lives at the row after the group blocks
 (card 1, never updated); all index padding points at it so gathers stay
@@ -79,15 +80,17 @@ from grample_tpu.pgm.discrete import LOG_EPS, MAX_TABLE_SIZE, DiscreteModel, tab
 
 #: Largest local-table row count the dense (MXU one-hot) path materializes.
 #: Nearly every base factor in the reference suite fits (SURVEY.md §6);
-#: bigger local tables (giant collapse replacements, dv-rel's 1024-entry
+#: bigger local tables (most collapse replacements, dv-rel's 1024-entry
 #: tables) go to the gather bank instead of inflating the padded
-#: [*, OA, K] tensors.  256 also keeps base indices bf16-exact, which the
-#: MXU base matmul and the Pallas kernel rely on for full-rate matmuls.
-OA_DENSE_CAP = 256
+#: [*, OA, K] tensors — one outsized incidence would otherwise multiply
+#: across every (var, factor) slot of every stacked variant.  <= 256 also
+#: keeps base indices bf16-exact, which the MXU base matmul and the
+#: Pallas kernel rely on for full-rate matmuls.
+OA_DENSE_CAP = 32
 
-#: Largest per-variant ``sw_wbase`` constant (bytes) before the sweep falls
-#: back from the MXU matmul base path to int32 row-gathers.
-WBASE_MAX_BYTES = 96 * 1024 * 1024
+#: Total ``sw_wbase`` bytes across all stacked variant slots before the
+#: sweep falls back from the MXU matmul base path to int32 row-gathers.
+WBASE_TOTAL_BUDGET = 1024 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +107,7 @@ class EncodeCaps:
     oa_cap: int = 1  # OA: dense-bank local-table rows (<= OA_DENSE_CAP)
     gfac_cap: int = 0  # Fg: gather-bank factors per variable
     tail_cap: int = 8  # ungrouped (evidence/collapsed) var rows
+    slot_hint: int = 1  # expected stacked variants (sizes the wbase budget)
 
     @property
     def num_rows(self) -> int:
@@ -122,9 +126,17 @@ class EncodeCaps:
 
     @property
     def sweep_mode(self) -> str:
-        """Base-index device path: MXU matmul constants or int32 gathers."""
+        """Base-index device path: MXU matmul constants or int32 gathers.
+
+        The Wbase constants live per variant slot, so the budget scales
+        with how many variants the run will stack (``slot_hint``).
+        """
         wbase = self.color_cap * self.group_cap * self.adj_cap * self.num_rows * 4
-        return "matmul" if wbase <= WBASE_MAX_BYTES else "gather"
+        return (
+            "matmul"
+            if wbase * max(self.slot_hint, 1) <= WBASE_TOTAL_BUDGET
+            else "gather"
+        )
 
     def fits(self, other: "EncodeCaps") -> bool:
         return (
@@ -138,6 +150,7 @@ class EncodeCaps:
             and self.oa_cap >= other.oa_cap
             and self.gfac_cap >= other.gfac_cap
             and self.tail_cap >= other.tail_cap
+            and self.slot_hint >= other.slot_hint
         )
 
 
@@ -238,6 +251,7 @@ def compute_caps(
     headroom_table: int = 4096,
     group_cap: int = 0,
     collapse_headroom: bool = False,
+    slot_hint: int = 1,
 ) -> EncodeCaps:
     """Measure a model and pick capacities.
 
@@ -310,6 +324,7 @@ def compute_caps(
         oa_cap=oa_cap,
         gfac_cap=gfac_cap,
         tail_cap=_roundup(ungrouped + (16 if collapse_headroom else 1), 8),
+        slot_hint=max(1, slot_hint),
     )
 
 
@@ -352,6 +367,7 @@ def merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
         oa_cap=max(a.oa_cap, b.oa_cap),
         gfac_cap=max(a.gfac_cap, b.gfac_cap),
         tail_cap=max(a.tail_cap, b.tail_cap),
+        slot_hint=max(a.slot_hint, b.slot_hint),
     )
 
 

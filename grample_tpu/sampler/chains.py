@@ -77,9 +77,13 @@ class ChainGroup:
         self.base = base_model
         self.cpv = int(chains_per_variant)
         self.cw = int(converge_window)
+        self.seed = int(seed)
         self.max_variants = max_variants
         self.caps = caps or compute_caps(
-            base_model, group_cap=group_cap, collapse_headroom=collapse_headroom
+            base_model,
+            group_cap=group_cap,
+            collapse_headroom=collapse_headroom,
+            slot_hint=max_variants if collapse_headroom else 1,
         )
         # rbg: counter-based, vastly cheaper per bit on TPU than threefry
         # (the sweep draws one uniform per site); deterministic per seed.
@@ -274,6 +278,21 @@ class ChainGroup:
                 half, count=count,
             )
 
+    def warmup(self):
+        """Compile the counted-window program without any side effect.
+
+        Sweep counts are traced, so this single compile serves every
+        window size.  Engines call it before anchoring time budgets: a
+        cold TPU compile can take minutes and must not eat the run (or
+        the adaptation half-life).  Zero sweeps advance nothing, window
+        counts gain zero, and the RNG step is restored.
+        """
+        if self.slot_cap == 0:
+            return
+        step = self._step
+        self._advance_fn(0, 0, count=True)
+        self._step = step
+
     def burn(self, sweeps: int):
         """Uncounted sweeps for all chains (burn-in)."""
         if sweeps <= 0 or self.slot_cap == 0:
@@ -286,8 +305,11 @@ class ChainGroup:
 
         Resets and refills the split-half window tensors, adds the window
         counts into the running totals, and returns site updates taken.
+        ``sweeps=0`` is a warmup: it compiles the counted-window program
+        (num_sweeps is traced, so the compile serves every window size)
+        without advancing anything.
         """
-        sweeps = int(sweeps or self.cw)
+        sweeps = self.cw if sweeps is None else int(sweeps)
         self.halves = jnp.zeros_like(self.halves)
         self._advance_fn(sweeps, sweeps // 2, count=True)
         delta = np.asarray(self.halves.sum(axis=(1, 2)), dtype=np.float64)

@@ -58,15 +58,19 @@ def _model_from_dict(d: dict) -> DiscreteModel:
     )
 
 
-def save_checkpoint(path: str, group: ChainGroup, cfg=None) -> None:
+def save_checkpoint(path: str, group: ChainGroup, cfg=None,
+                    runtime: float = 0.0) -> None:
     """Atomic snapshot (tmp file + rename)."""
     meta = {
         "version": FORMAT_VERSION,
         "cpv": group.cpv,
         "cw": group.cw,
+        "seed": group.seed,
+        "slot_cap": group.slot_cap,
         "step": group._step,
         "total_samples": group.total_samples,
         "total_sweeps": group.total_sweeps,
+        "runtime": runtime,
         "variants": [_model_to_dict(m) for m in group.variants],
         "config": None if cfg is None else _cfg_dict(cfg),
     }
@@ -96,9 +100,14 @@ def load_checkpoint(path: str, base_model: DiscreteModel) -> Tuple[ChainGroup, d
         base_model,
         chains_per_variant=meta["cpv"],
         converge_window=meta["cw"],
+        seed=meta.get("seed", 0),
+        collapse_headroom=any(
+            any(mv["collapsed"]) for mv in meta["variants"]
+        ),
     )
     for mv in meta["variants"]:
         group.add_variant(_model_from_dict(mv))
+    group.reserve(meta.get("slot_cap", 0))
     group.state = jnp.asarray(data["state"])
     group.halves = jnp.asarray(data["halves"])
     group.totals = np.array(data["totals"], dtype=np.float64)

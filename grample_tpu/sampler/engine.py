@@ -134,6 +134,8 @@ class Engine:
             solution = pad_marginals(read_mar_file(sol_path), model.cards)
             start = error_suite(model.marginals, solution, model.cards, model.fixed, None)
             self.log(f"START {start}")
+            if cfg.verbose:
+                self.log(start.report())
             mer_path = cfg.model_path + ".merlin.MAR"
             if os.path.exists(mer_path):
                 merlin = pad_marginals(read_mar_file(mer_path), model.cards)
@@ -157,26 +159,42 @@ class Engine:
             f"maxsecs={cfg.max_secs} maxiters={cfg.max_iters}"
         )
 
-        group = self._make_group(cfg, model, cw_sweeps, seed)
+        prior_runtime = 0.0
+        if cfg.resume and cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+            from grample_tpu.sampler.checkpoint import load_checkpoint
 
-        rng = np.random.default_rng(seed)
-        self.log(f"Creating chains and performing burn-in ({burn_sweeps} sweeps)")
-        group.reserve(max(n_slots, cfg.reserve_slots))
-        for slot in range(n_slots):
-            if cfg.sampler == "simple" or cfg.sampler == "adaptive":
-                group.add_variant(model)
-            elif cfg.sampler == "collapsed":
-                var = pick_random_collapsible(model, rng)
-                if var is None:
+            group, meta = load_checkpoint(cfg.checkpoint_path, model)
+            cw_sweeps = group.cw
+            prior_runtime = float(meta.get("runtime", 0.0))
+            self.log(
+                f"RESUMED from {cfg.checkpoint_path}: {group.num_variants} "
+                f"chains, {group.total_samples:,} samples, "
+                f"{group.total_sweeps} sweeps, {prior_runtime:.1f}s spent"
+            )
+            group.warmup()  # compile off the budget clock
+            t_clock = time.time()
+        else:
+            group = self._make_group(cfg, model, cw_sweeps, seed)
+            rng = np.random.default_rng(seed)
+            self.log(f"Creating chains and performing burn-in ({burn_sweeps} sweeps)")
+            group.reserve(max(n_slots, cfg.reserve_slots))
+            for slot in range(n_slots):
+                if cfg.sampler == "simple" or cfg.sampler == "adaptive":
                     group.add_variant(model)
+                elif cfg.sampler == "collapsed":
+                    var = pick_random_collapsible(model, rng)
+                    if var is None:
+                        group.add_variant(model)
+                    else:
+                        variant, exact = collapse_var(model, var)
+                        self.log(f" ... chain {slot + 1}: collapsed var {var} "
+                                 f"marginal={np.round(exact, 4)}")
+                        group.add_variant(variant)
                 else:
-                    variant, exact = collapse_var(model, var)
-                    self.log(f" ... chain {slot + 1}: collapsed var {var} "
-                             f"marginal={np.round(exact, 4)}")
-                    group.add_variant(variant)
-            else:
-                raise ValueError(f"unknown sampler: {cfg.sampler}")
-        group.burn(burn_sweeps)
+                    raise ValueError(f"unknown sampler: {cfg.sampler}")
+            group.warmup()  # compile off the budget clock
+            t_clock = time.time()
+            group.burn(burn_sweeps)
 
         if self.monitor:
             self.monitor.update(
@@ -189,10 +207,13 @@ class Engine:
             self.trace("RunSecs, MaxHell, NegLogMaxHell, MaxJS, NegLogMaxJS, CollapseCount")
 
         # ---- main loop --------------------------------------------------
-        stop_time = t_start + cfg.max_secs
-        next_status = t_start + cfg.status_secs / 2
-        no_adapt_time = t_start + cfg.max_secs / 2
-        next_checkpoint = t_start + cfg.checkpoint_secs
+        # budgets anchor at t_clock (model load + compiles excluded;
+        # burn-in included, matching the reference) and continue across
+        # resume: prior runtime is already spent
+        stop_time = t_clock + max(0.0, cfg.max_secs - prior_runtime)
+        next_status = t_clock + cfg.status_secs / 2
+        no_adapt_time = t_clock + max(0.0, cfg.max_secs / 2 - prior_runtime)
+        next_checkpoint = t_clock + cfg.checkpoint_secs
         keep_adapting = cfg.sampler == "adaptive"
         keep_working = True
         score = None
@@ -206,7 +227,7 @@ class Engine:
                 keep_working = False
 
             if now > next_status or not keep_working or cfg.experiment:
-                runtime = now - t_start
+                runtime = now - t_clock
                 if now > next_status or not keep_working:
                     rate = group.total_samples / max(runtime, 1e-9)
                     self.log(
@@ -217,7 +238,7 @@ class Engine:
                     merged = group.merged_marginals()
                     score = error_suite(merged, solution, model.cards, model.fixed, None)
                     if now > next_status or not keep_working:
-                        self.log(f"    {score}")
+                        self.log(score.report() if cfg.verbose else f"    {score}")
                     if cfg.experiment:
                         ncol = int(group.collapsed_any().sum())
                         self.trace(
@@ -249,11 +270,13 @@ class Engine:
                     )
 
             if cfg.checkpoint_path and time.time() > next_checkpoint:
-                self.save_checkpoint(group)
+                self.save_checkpoint(
+                    group, prior_runtime + (time.time() - t_clock)
+                )
                 next_checkpoint = time.time() + cfg.checkpoint_secs
 
         # ---- final ------------------------------------------------------
-        runtime = time.time() - t_start
+        runtime = time.time() - t_clock
         merged = group.merged_marginals()
         final = norm_marginals(merged, model.cards)
         self.log("DONE")
@@ -273,6 +296,7 @@ class Engine:
         if solution is not None:
             result.final_score = error_suite(final, solution, model.cards, model.fixed, None)
             self.log(f"FINAL {result.final_score}")
+            self.log(result.final_score.report())
             if merlin is not None:
                 result.merlin_score = error_suite(merlin, solution, model.cards, model.fixed, None)
                 self.log(f"MERLIN SCORE {result.merlin_score}")
@@ -283,6 +307,17 @@ class Engine:
             meas: group.convergence(measure=meas)
             for meas in ("hellinger", "js", "maxabs", "meanabs")
         }
+
+        if cfg.verbose:
+            # reference --verbose: per-variable final summaries
+            # (cmd/root.go:677-685; true per-sample logging is meaningless
+            # at billions of vectorized site updates per second)
+            for i in range(v):
+                kind = "EVID" if model.fixed[i] >= 0 else "est"
+                self.log(
+                    f"Variable[{i}] {model.var_name(i)} (Card:{int(model.cards[i])}, "
+                    f"{kind}) {np.round(result.marginals[i, :int(model.cards[i])], 6)}"
+                )
 
         self._final_trace(result, solution, merlin)
 
@@ -303,10 +338,28 @@ class Engine:
         """Per-variable JSON trace records (reference cmd/root.go:656-716)."""
         if not self.trace_fh:
             return
+        from grample_tpu.metrics.divergences import (
+            hellinger,
+            js_divergence,
+            max_abs_diff,
+            mean_abs_diff,
+        )
+
         model = result.model
         conv = result.convergence
+        err = None
+        if solution is not None:
+            err = {
+                "Hell-Error": hellinger(result.marginals, solution, model.cards),
+                "JS-Error": js_divergence(result.marginals, solution, model.cards),
+                "MaxAD-Error": max_abs_diff(result.marginals, solution, model.cards),
+                "AvgAD-Error": mean_abs_diff(result.marginals, solution, model.cards),
+            }
+        mer_hell = None
+        if merlin is not None:
+            mer_hell = hellinger(result.marginals, merlin, model.cards)
 
-        def var_record(i: int) -> dict:
+        def var_record(i: int, with_merlin: bool = False) -> dict:
             card = int(model.cards[i])
             rec = {
                 "ID": i,
@@ -325,6 +378,10 @@ class Engine:
             if solution is not None:
                 for c in range(card):
                     rec["State"][f"SOL-MAR[{c}]"] = float(solution[i, c])
+                for name, vals in err.items():
+                    rec["State"][name] = float(vals[i])
+            if with_merlin and mer_hell is not None:
+                rec["State"]["MerlinHellError"] = float(mer_hell[i])
             return rec
 
         self.trace("// EVIDENCE")
@@ -335,6 +392,16 @@ class Engine:
         for i in range(model.num_vars):
             if model.fixed[i] < 0:
                 self.trace(json.dumps(var_record(i)))
+        if mer_hell is not None:
+            # reference cmd/root.go:689-709: estimated vars ranked by
+            # Hellinger distance from the merlin solution
+            order = sorted(
+                (i for i in range(model.num_vars) if model.fixed[i] < 0),
+                key=lambda i: mer_hell[i],
+            )
+            self.trace("// VARS SORTED BY DIST FROM HELLINGER")
+            for i in order:
+                self.trace(json.dumps(var_record(i, with_merlin=True)))
         self.trace("// OPERATING PARAMS")
         self.trace(json.dumps(dataclasses.asdict(self.cfg)))
         self.trace("// RESULT SUMMARY")
@@ -349,6 +416,18 @@ class Engine:
                     "collapsed": result.collapsed,
                     "samples_per_sec": result.samples_per_sec,
                     "final_score": result.final_score.as_dict() if result.final_score else None,
+                }
+            )
+        )
+        # reference cmd/root.go:714-716: the whole model (factor tables
+        # excluded from JSON, matching model/model.go:28)
+        self.trace("// ENTIRE MODEL")
+        self.trace(
+            json.dumps(
+                {
+                    "Type": model.type,
+                    "Name": model.name,
+                    "Vars": [var_record(i) for i in range(model.num_vars)],
                 }
             )
         )
@@ -392,10 +471,10 @@ class Engine:
         self.log(f"device mesh: {dict(mesh.shape)} over {mesh.size} devices")
         return ShardedChainGroup(model, mesh=mesh, **kw)
 
-    def save_checkpoint(self, group: ChainGroup):
+    def save_checkpoint(self, group: ChainGroup, runtime: float = 0.0):
         from grample_tpu.sampler.checkpoint import save_checkpoint
 
-        save_checkpoint(self.cfg.checkpoint_path, group, self.cfg)
+        save_checkpoint(self.cfg.checkpoint_path, group, self.cfg, runtime=runtime)
         self.log(f"checkpoint -> {self.cfg.checkpoint_path}")
 
 

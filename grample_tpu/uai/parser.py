@@ -240,9 +240,7 @@ def parse_mar(text: str) -> List[np.ndarray]:
 def read_model_file(path: str) -> DiscreteModel:
     with open(path) as fh:
         m = parse_model(fh.read())
-    base = os.path.basename(path)
     m.name = os.path.splitext(path)[0]
-    del base
     m.check()
     return m
 

@@ -87,6 +87,39 @@ def test_adaptive_run(tmp_path):
             json.loads(line)
 
 
+def test_trace_process_roundtrip(tmp_path):
+    """Adaptive run trace -> CSV with rank columns (trace_file_process.py
+    parity), plus the merlin-ranked section and model dump."""
+    import csv
+    import io
+
+    from grample_tpu.tools.trace_process import process
+
+    trace = str(tmp_path / "t.jsonl")
+    cfg = base_cfg(
+        res_path("deterministic.uai"), sampler="adaptive", chain_adds=2,
+        max_iters=30000, trace_path=trace,
+    )
+    Engine(cfg, log=quiet).run()
+    text = open(trace).read()
+    assert "// VARS SORTED BY DIST FROM HELLINGER" in text
+    assert "// ENTIRE MODEL" in text
+
+    out = io.StringIO()
+    assert process(text.splitlines(), out) == 0
+    rows = list(csv.DictReader(io.StringIO(out.getvalue())))
+    assert rows, "no estimated vars in CSV"
+    cols = rows[0].keys()
+    assert "Hell-Convergence-RANK" in cols
+    assert "Hell-Error-RANK" in cols
+    # ranks are a permutation of 1..N
+    ranks = sorted(int(r["Hell-Error-RANK"]) for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    # rank 1 is the smallest error
+    best = min(rows, key=lambda r: float(r["Hell-Error"]))
+    assert int(best["Hell-Error-RANK"]) == 1
+
+
 def test_mar_output(tmp_path):
     out = str(tmp_path / "result.MAR")
     cfg = base_cfg(res_path("one.uai"), mar_out=out, max_iters=4000)
@@ -129,3 +162,60 @@ def test_checkpoint_roundtrip(tmp_path):
     # resumed group advances fine
     g2.advance()
     assert g2.total_samples > g.total_samples
+
+
+def test_kill_and_resume_bit_exact(tmp_path):
+    """A save/load/advance must reproduce an uninterrupted run exactly
+    (same seed, same key stream, same states, same totals)."""
+    from grample_tpu.sampler.chains import ChainGroup
+    from grample_tpu.sampler.checkpoint import load_checkpoint, save_checkpoint
+    from grample_tpu.uai import load_model
+
+    m = load_model(res_path("sample.uai"))
+
+    def fresh():
+        g = ChainGroup(m, chains_per_variant=16, converge_window=20, seed=9)
+        g.add_variant(m)
+        g.add_variant(m)
+        g.burn(10)
+        g.advance()
+        return g
+
+    # uninterrupted: two windows
+    a = fresh()
+    a.advance()
+
+    # killed after one window, resumed, then one window
+    b = fresh()
+    path = str(tmp_path / "kill.npz")
+    save_checkpoint(path, b)
+    del b
+    b2, _ = load_checkpoint(path, m)
+    b2.advance()
+
+    np.testing.assert_array_equal(np.asarray(a.state), np.asarray(b2.state))
+    np.testing.assert_array_equal(np.asarray(a.halves), np.asarray(b2.halves))
+    np.testing.assert_array_equal(a.totals, b2.totals)
+    assert a.total_samples == b2.total_samples
+    assert a.total_sweeps == b2.total_sweeps
+
+
+def test_engine_resume_continues(tmp_path):
+    """Engine honors cfg.resume: picks up samples/budgets from the file."""
+    ck = str(tmp_path / "eng.npz")
+    cfg = base_cfg(
+        res_path("one.uai"), max_iters=2000,
+        checkpoint_path=ck, checkpoint_secs=0.0,  # checkpoint every window
+    )
+    res1 = Engine(cfg, log=quiet).run()
+    assert os.path.exists(ck)
+
+    cfg2 = base_cfg(
+        res_path("one.uai"), max_iters=4000,
+        checkpoint_path=ck, resume=True,
+    )
+    logs = []
+    res2 = Engine(cfg2, log=logs.append).run()
+    assert any("RESUMED" in s for s in logs)
+    assert res2.samples > res1.samples  # continued, not restarted
+    assert res2.final_score.max_hellinger < 0.05
