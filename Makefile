@@ -1,0 +1,34 @@
+# Dev entry points (reference Makefile parity: build/test/cover/bench/lint)
+
+PY ?= python
+
+.PHONY: test cover bench experiment lint native clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+cover:
+	$(PY) -m pytest tests/ -q --cov=grample_tpu --cov-report=term-missing || \
+		$(PY) -m pytest tests/ -q  # pytest-cov optional
+
+bench:
+	$(PY) bench.py
+
+# full-suite acceptance runs (reference script/experiment semantics);
+# override SECS/MODES/NETS, e.g. make experiment SECS=300
+SECS ?= 60
+MODES ?= adaptive,plain
+NETS ?= all
+experiment:
+	mkdir -p results
+	$(PY) -m grample_tpu.tools.experiments --secs $(SECS) --modes $(MODES) \
+		--nets $(NETS) --out results/acceptance.jsonl
+
+lint:
+	$(PY) -m compileall -q grample_tpu tests bench.py __graft_entry__.py
+
+native:
+	$(PY) -c "from grample_tpu.native import load; assert load() is not None, 'native build failed'"
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; true
