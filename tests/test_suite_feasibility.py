@@ -1,0 +1,46 @@
+"""Every reference benchmark net must encode and advance.
+
+VERDICT r1: the dense encoding was infeasible on ObjectDetection and CSP
+(15 GiB local tables).  The hybrid dense/gather banks bound every
+capacity, so the whole suite must run — this guards that.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from grample_tpu.sampler.chains import ChainGroup
+from grample_tpu.uai import load_model
+
+from tests.conftest import RES_DIR, res_path
+
+SUITE = [
+    "Grids_13", "CSP_13", "Pedigree_13", "Promedus_19", "Segmentation_11",
+    "ObjectDetection_11", "Alchemy_11", "dv-rel_3", "dv-rel_4HW",
+]
+
+
+@pytest.mark.parametrize("net", SUITE)
+def test_net_encodes_and_advances(net):
+    path = res_path(net + ".uai")
+    m = load_model(path, use_evidence=os.path.exists(path + ".evid"))
+    g = ChainGroup(m, chains_per_variant=8, converge_window=4, seed=2)
+    g.add_variant(m)
+
+    # encoding stays bounded: the r1 failure mode was multi-GiB local
+    # tables on ObjectDetection (oa_cap blowup)
+    enc = g.encs[0]
+    assert enc.sw_local_tables.nbytes < 256 * 1024 * 1024, (
+        net, enc.sw_local_tables.shape
+    )
+
+    taken = g.advance(4)
+    free = int(m.free_mask.sum())
+    assert taken == 4 * 8 * free
+    merged = g.merged_marginals()
+    est = merged / np.maximum(merged.sum(axis=1, keepdims=True), 1e-12)
+    assert np.isfinite(est).all()
+    # every free var's estimate is a distribution over its card
+    for i in np.nonzero(m.free_mask)[0][:20]:
+        assert abs(est[i, : m.cards[i]].sum() - 1.0) < 1e-6
