@@ -80,13 +80,16 @@ def engine_quality(path, model, secs):
     from grample_tpu.sampler.engine import Engine, EngineConfig
     from grample_tpu.uai import read_mar_file
 
+    # micro-chains per slot sized by model width so the 128-slot stack's
+    # window tensors stay well inside HBM
+    vchains = 1024 if model.num_vars <= 256 else 256
     cfg = EngineConfig(
         model_path=path,
         use_evidence=os.path.exists(path + ".evid"),
         use_solution=True,
         sampler="adaptive",
         chains=2,
-        chains_per_variant=1024,
+        chains_per_variant=vchains,
         chain_adds=4,  # reference script/experiment:5-38
         reserve_slots=128,
         max_secs=secs,

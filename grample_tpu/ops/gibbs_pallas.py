@@ -28,7 +28,6 @@ is compiled code" (``sampler/gibbs-simple.go:163-271``).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional
 

@@ -44,7 +44,6 @@ every window/burn-in size.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -89,40 +88,43 @@ def _color_logits(state_p, tables, xs, wbase=None):
     oa = local_tab.shape[-2]
     g, f = scope_vars.shape[:2]
 
-    # ---- dense bank -------------------------------------------------------
-    if wbase is not None:
-        if oa <= 256:
-            # all quantities are integers <= 256: exact in bf16, and the
-            # MXU runs bf16 at full rate (f32 HIGHEST costs 3 passes)
-            base = jnp.einsum(
-                "rv,vc->rc",
-                wbase.astype(jnp.bfloat16),
-                state_p.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ).reshape(g, f, c)
-        else:
-            base = jnp.einsum(
-                "rv,vc->rc",
-                wbase,
-                state_p,
-                precision=HIGHEST,
-                preferred_element_type=jnp.float32,
-            ).reshape(g, f, c)
+    # ---- dense bank (statically absent in all-gather mode: F == 0) --------
+    if f == 0:
+        logits = jnp.zeros((g, kdim, c), dtype=jnp.float32)
     else:
-        rows = jnp.take(state_p, scope_vars.reshape(-1), axis=0)
-        rows = rows.reshape(g, f, -1, c)  # [G, F, S, C]
-        base = (rows * other_strides[..., None].astype(rows.dtype)).sum(axis=2)
-    onehot = (
-        base[:, :, None, :]
-        == jnp.arange(oa, dtype=base.dtype)[None, None, :, None]
-    )  # [G, F, OA, C] — exact 0/1; contraction over (f, oa) on the MXU.
-    logits = jnp.einsum(
-        "gfok,gfoc->gkc",
-        local_tab,
-        onehot.astype(jnp.float32),
-        precision=HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # [G, K, C]
+        if wbase is not None:
+            if oa <= 256:
+                # all quantities are integers <= 256: exact in bf16, and
+                # the MXU runs bf16 at full rate (f32 HIGHEST: 3 passes)
+                base = jnp.einsum(
+                    "rv,vc->rc",
+                    wbase.astype(jnp.bfloat16),
+                    state_p.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).reshape(g, f, c)
+            else:
+                base = jnp.einsum(
+                    "rv,vc->rc",
+                    wbase,
+                    state_p,
+                    precision=HIGHEST,
+                    preferred_element_type=jnp.float32,
+                ).reshape(g, f, c)
+        else:
+            rows = jnp.take(state_p, scope_vars.reshape(-1), axis=0)
+            rows = rows.reshape(g, f, -1, c)  # [G, F, S, C]
+            base = (rows * other_strides[..., None].astype(rows.dtype)).sum(axis=2)
+        onehot = (
+            base[:, :, None, :]
+            == jnp.arange(oa, dtype=base.dtype)[None, None, :, None]
+        )  # [G, F, OA, C] — exact 0/1; contraction over (f, oa) on the MXU.
+        logits = jnp.einsum(
+            "gfok,gfoc->gkc",
+            local_tab,
+            onehot.astype(jnp.float32),
+            precision=HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [G, K, C]
 
     # ---- gather bank (static skip when the caps hold no gather factors) ---
     if gb_offset.shape[-1] > 0:

@@ -31,7 +31,7 @@ ride ICI within a slice; DCN only sees the per-window host reduction.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from grample_tpu.ops.gibbs_xla import _advance_one
-from grample_tpu.sampler.chains import MAX_VARIANTS, ChainGroup
+from grample_tpu.sampler.chains import ChainGroup
 
 VARIANT_AXIS = "variants"
 CHAIN_AXIS = "chains"

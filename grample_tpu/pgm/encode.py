@@ -71,7 +71,7 @@ sweep serves all variants, stacked on a leading axis.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -108,6 +108,7 @@ class EncodeCaps:
     gfac_cap: int = 0  # Fg: gather-bank factors per variable
     tail_cap: int = 8  # ungrouped (evidence/collapsed) var rows
     slot_hint: int = 1  # expected stacked variants (sizes the wbase budget)
+    base_mode: str = "matmul"  # dense/matmul banks, or all-gather-bank
 
     @property
     def num_rows(self) -> int:
@@ -128,15 +129,10 @@ class EncodeCaps:
     def sweep_mode(self) -> str:
         """Base-index device path: MXU matmul constants or int32 gathers.
 
-        The Wbase constants live per variant slot, so the budget scales
-        with how many variants the run will stack (``slot_hint``).
+        Decided by :func:`compute_caps` (the per-slot constants must fit
+        the HBM budget across ``slot_hint`` stacked variants).
         """
-        wbase = self.color_cap * self.group_cap * self.adj_cap * self.num_rows * 4
-        return (
-            "matmul"
-            if wbase * max(self.slot_hint, 1) <= WBASE_TOTAL_BUDGET
-            else "gather"
-        )
+        return self.base_mode
 
     def fits(self, other: "EncodeCaps") -> bool:
         return (
@@ -151,6 +147,7 @@ class EncodeCaps:
             and self.gfac_cap >= other.gfac_cap
             and self.tail_cap >= other.tail_cap
             and self.slot_hint >= other.slot_hint
+            and self.base_mode == other.base_mode
         )
 
 
@@ -239,10 +236,10 @@ class EncodedModel:
         )
 
 
-def _classify_local(table_size: int, card: int) -> tuple:
+def _classify_local(table_size: int, card: int, dense_ok: bool = True) -> tuple:
     """(is_dense, oa_rows) for one (var, factor) incidence."""
     rows = int(table_size) // int(card)
-    return rows <= OA_DENSE_CAP, rows
+    return dense_ok and rows <= OA_DENSE_CAP, rows
 
 
 def compute_caps(
@@ -261,7 +258,35 @@ def compute_caps(
     chain runtime grows caps lazily (with a re-encode + recompile) if a
     variant ever outgrows them, so eager headroom is an optimization for
     adaptive/collapsed runs, never a requirement (ADVICE.md r1, medium).
+
+    Two passes: the first assumes the dense (matmul/one-hot) bank; if the
+    resulting per-slot constants would blow the HBM budget (Wbase times
+    ``slot_hint``, or the padded one-hot working set), the second pass
+    reclassifies EVERY incidence into the gather bank — no local tables,
+    no Wbase, no one-hot: the O(blanket) flat-table gather path.
     """
+    caps = _compute_caps_once(
+        m, headroom_factors, headroom_table, group_cap, collapse_headroom,
+        slot_hint, dense_ok=True,
+    )
+    wbase = caps.color_cap * caps.group_cap * caps.adj_cap * caps.num_rows * 4
+    if wbase * max(slot_hint, 1) > WBASE_TOTAL_BUDGET:
+        caps = _compute_caps_once(
+            m, headroom_factors, headroom_table, group_cap, collapse_headroom,
+            slot_hint, dense_ok=False,
+        )
+    return caps
+
+
+def _compute_caps_once(
+    m: DiscreteModel,
+    headroom_factors: int,
+    headroom_table: int,
+    group_cap: int,
+    collapse_headroom: bool,
+    slot_hint: int,
+    dense_ok: bool,
+) -> EncodeCaps:
     v = m.num_vars
     nfac = np.zeros(v + 1, dtype=np.int64)
     ngfac = np.zeros(v + 1, dtype=np.int64)
@@ -270,7 +295,7 @@ def compute_caps(
     oa_cap = 1
     for f in m.factors:
         for u in f.scope:
-            dense, rows = _classify_local(f.table.size, m.cards[int(u)])
+            dense, rows = _classify_local(f.table.size, m.cards[int(u)], dense_ok)
             if dense:
                 nfac[int(u)] += 1
                 oa_cap = max(oa_cap, rows)
@@ -306,7 +331,7 @@ def compute_caps(
                     collapse_scope = max(collapse_scope, len(rest))
                     collapse_table = max(collapse_table, tsize)
                     for u in rest:
-                        dense, rows = _classify_local(tsize, m.cards[u])
+                        dense, rows = _classify_local(tsize, m.cards[u], dense_ok)
                         if dense:
                             oa_cap = max(oa_cap, rows)
                         else:
@@ -316,15 +341,16 @@ def compute_caps(
     return EncodeCaps(
         num_vars=v,
         max_card=m.max_card,
-        adj_cap=int(nfac.max()) + headroom_factors,
+        adj_cap=int(nfac.max()) + (headroom_factors if dense_ok else 0),
         scope_cap=max(max_scope, collapse_scope),
         table_cap=_roundup(tab_total + max(collapse_table, headroom_table), 1024),
         color_cap=len(groups) + (2 if collapse_headroom else 0),
         group_cap=gcap,
         oa_cap=oa_cap,
-        gfac_cap=gfac_cap,
+        gfac_cap=gfac_cap + (headroom_factors if not dense_ok else 0),
         tail_cap=_roundup(ungrouped + (16 if collapse_headroom else 1), 8),
         slot_hint=max(1, slot_hint),
+        base_mode="matmul" if dense_ok else "gather",
     )
 
 
@@ -368,6 +394,7 @@ def merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
         gfac_cap=max(a.gfac_cap, b.gfac_cap),
         tail_cap=max(a.tail_cap, b.tail_cap),
         slot_hint=max(a.slot_hint, b.slot_hint),
+        base_mode="gather" if "gather" in (a.base_mode, b.base_mode) else "matmul",
     )
 
 
@@ -455,7 +482,9 @@ def encode_model(
             adj_scope_strides[u, j, : f.scope.size] = ss
 
             cu = int(m.cards[u])
-            dense, rows = _classify_local(f.table.size, cu)
+            dense, rows = _classify_local(
+                f.table.size, cu, caps.sweep_mode == "matmul"
+            )
             if dense:
                 jd = ndense[u]
                 if jd >= F:

@@ -24,9 +24,7 @@ collapsed.  Differences from the reference, on purpose:
 
 from __future__ import annotations
 
-from typing import List, Optional
-
-import numpy as np
+from typing import List
 
 from grample_tpu.pgm.discrete import norm_marginals
 from grample_tpu.sampler.chains import ChainGroup

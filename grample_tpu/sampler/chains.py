@@ -23,8 +23,7 @@ marginal (1/card per entry) plus its counts.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 #: nets with bundled exact .MAR ground truth (res/README.md)
 DEFAULT_RES = os.environ.get("GRAMPLE_RES", "/root/reference/res")
 

@@ -24,7 +24,7 @@ implementation and the arbiter of semantics.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -208,6 +208,40 @@ def test_evidence_respected(rng):
     assert h.max() < 0.025, f"hellinger {h}"
 
 
+def test_gather_mode_vs_exact(rng):
+    """base_mode='gather' (all incidences through the flat-table bank —
+    the big-model/many-variant fallback) must sample the same posterior."""
+    import dataclasses
+
+    from grample_tpu.pgm.encode import compute_caps
+    from grample_tpu.pgm.exact import exact_marginals
+
+    m = rand_model(rng, v=5, max_card=3, n_factors=6)
+    caps = compute_caps(m)
+    caps = dataclasses.replace(
+        caps, base_mode="gather", adj_cap=0, oa_cap=1,
+        gfac_cap=caps.adj_cap + caps.gfac_cap,
+    )
+    enc = encode_model(m, caps)
+    assert enc.sw_wbase is None
+    assert enc.gb_mask.sum() > 0
+    stack = {k: jnp.asarray(v) for k, v in stack_variants([enc]).items()}
+    key = jax.random.key(11, impl="rbg")
+    chains, sweeps = 512, 1500
+    state = init_state(stack, key, chains, m.max_card)
+    halves = jnp.zeros((1, 2, chains, m.num_vars + 1, m.max_card), jnp.float32)
+    state, halves = advance_chains(
+        stack, state, halves, jax.random.fold_in(key, 1), 50, 25, count=False
+    )
+    state, halves = advance_chains(
+        stack, state, halves, jax.random.fold_in(key, 2), sweeps, sweeps // 2
+    )
+    counts = np.asarray(halves.sum(axis=(1, 2)))[0][:-1]
+    est = counts / counts.sum(axis=1, keepdims=True)
+    h = hellinger(est, exact_marginals(m), m.cards)
+    assert h.max() < 0.02, h
+
+
 def test_determinism():
     m = load_model(res_path("deterministic.uai"))
     a = _run_chains(m, sweeps=50, chains=64, seed=7)
