@@ -70,7 +70,17 @@ def measure_throughput(model):
     for _ in range(3):
         taken += g.advance(64)
     jax.block_until_ready(g.state)
-    return taken / (time.time() - t0), g.use_pallas
+    rate = taken / (time.time() - t0)
+
+    # estimated arithmetic per site update (base matmul + table lookup +
+    # draw); honest lower-bound utilization figure, not a marketing MFU
+    caps = g.caps
+    if caps.sweep_mode == "matmul":
+        base_flops = 2 * caps.adj_cap * caps.num_rows
+    else:
+        base_flops = 4 * caps.adj_cap * caps.scope_cap
+    fps = base_flops + 2 * caps.adj_cap * caps.oa_cap * caps.max_card + 8 * caps.max_card
+    return rate, g.use_pallas, fps
 
 
 def engine_quality(path, model, secs):
@@ -138,12 +148,14 @@ def main() -> int:
             sol = pad_marginals(read_mar_file(path + ".MAR"), model.cards)
 
         anchor_rate, anchor_est = measure_anchor(model)
-        rate, used_pallas = measure_throughput(model)
+        rate, used_pallas, fps = measure_throughput(model)
         d = {
             "tpu_samples_per_sec": round(rate, 1),
             "anchor_samples_per_sec": round(anchor_rate, 1) if anchor_rate else None,
             "speedup_vs_anchor": round(rate / anchor_rate, 1) if anchor_rate else None,
             "pallas": used_pallas,
+            "est_flops_per_site": fps,
+            "est_tflops": round(rate * fps / 1e12, 2),
         }
         if sol is not None and anchor_est is not None:
             a = error_suite(anchor_est, sol, model.cards, model.fixed, None)

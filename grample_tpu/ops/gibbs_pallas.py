@@ -41,9 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 FLOOR = 1e-6
 NEG = -1e30
 #: VMEM working-set budget for the fully-resident kernel (bytes).
-#: Empirically validated on TPU v5e (128 MiB VMEM); the estimate in
-#: ``_vmem_estimate`` is deliberately rough, so keep margin.
-VMEM_BUDGET = 40 * 1024 * 1024
+#: v5e has 128 MiB VMEM and the kernel raises Mosaic's scoped cap to
+#: 100 MiB; the estimate in ``_vmem_estimate`` is heuristic and the chain
+#: runtime falls back to the XLA sweep if Mosaic rejects the kernel.
+VMEM_BUDGET = 88 * 1024 * 1024
 _INV24 = float(2.0**-24)
 
 

@@ -259,6 +259,10 @@ class ShardedChainGroup(ChainGroup):
             self.mesh, self.state, self.halves, self.stack, self._next_key(),
             0, 0, count=True,
         )
+        self.state, self.halves, _ = sharded_advance(
+            self.mesh, self.state, self.halves, self.stack, self._next_key(),
+            0, 0, count=False,
+        )
         self._step = step
 
     def burn(self, sweeps: int):

@@ -49,6 +49,13 @@ from grample_tpu.pgm.encode import (
 
 MAX_VARIANTS = 128  # reference ConvergenceSampler.MaxChains (adaptive.go:49)
 
+#: Variant slots advance in fixed-size chunks: ONE compiled program (the
+#: chunk shape never changes) while inactive reserved slots cost nothing —
+#: r1 advanced the full padded slot capacity every window, so a freshly
+#: started adaptive run with 2 of 128 reserved slots burned 64x the
+#: needed compute (and its burn-in blew the whole time budget).
+CHUNK_SLOTS = 8
+
 
 def _next_pow2(n: int) -> int:
     p = 1
@@ -265,24 +272,55 @@ class ChainGroup:
         m[: self.num_variants] = True
         return m
 
-    def _advance_fn(self, sweeps: int, half: int, count: bool):
+    def _advance_chunk(self, stack_c, pal_c, st, hv, ck, sweeps, half, count):
         if self.use_pallas:
-            self.state, self.halves = advance_chains_pallas(
-                self.stack, self.pal_stack, self.state, self.halves,
-                self._next_key(), sweeps, half, count=count, cb=self.pal_block,
+            try:
+                return advance_chains_pallas(
+                    stack_c, pal_c, st, hv, ck, sweeps, half, count=count,
+                    cb=self.pal_block,
+                )
+            except Exception:  # noqa: BLE001 — Mosaic compile/VMEM errors
+                # the VMEM estimate is heuristic; if the kernel doesn't
+                # actually compile/fit, fall back to the XLA sweep for the
+                # rest of the run (inputs are intact: donation only takes
+                # effect on successful execution)
+                self.use_pallas = False
+        return advance_chains(stack_c, st, hv, ck, sweeps, half, count=count)
+
+    def _advance_fn(self, sweeps: int, half: int, count: bool):
+        """Advance the ACTIVE slot prefix, chunked (see CHUNK_SLOTS)."""
+        chunk = min(CHUNK_SLOTS, self.slot_cap)
+        active = max(1, self.num_variants)
+        p = ((active + chunk - 1) // chunk) * chunk
+        key = self._next_key()
+        states, halves = [], []
+        for c0 in range(0, p, chunk):
+            sl = slice(c0, c0 + chunk)
+            st, hv = self._advance_chunk(
+                {k: v[sl] for k, v in self.stack.items()},
+                None if self.pal_stack is None
+                else {k: v[sl] for k, v in self.pal_stack.items()},
+                self.state[sl],
+                self.halves[sl],
+                jax.random.fold_in(key, c0),
+                sweeps,
+                half,
+                count,
             )
-        else:
-            self.state, self.halves = advance_chains(
-                self.stack, self.state, self.halves, self._next_key(), sweeps,
-                half, count=count,
-            )
+            states.append(st)
+            halves.append(hv)
+        if p < self.slot_cap:
+            states.append(self.state[p:])
+            halves.append(self.halves[p:])
+        self.state = jnp.concatenate(states) if len(states) > 1 else states[0]
+        self.halves = jnp.concatenate(halves) if len(halves) > 1 else halves[0]
 
     def warmup(self):
-        """Compile the counted-window program without any side effect.
+        """Compile both sweep programs (counted + burn) with no side effect.
 
-        Sweep counts are traced, so this single compile serves every
-        window size.  Engines call it before anchoring time budgets: a
-        cold TPU compile can take minutes and must not eat the run (or
+        Sweep counts are traced, so these two compiles serve every window
+        and burn-in size.  Engines call it before anchoring time budgets:
+        a cold TPU compile can take minutes and must not eat the run (or
         the adaptation half-life).  Zero sweeps advance nothing, window
         counts gain zero, and the RNG step is restored.
         """
@@ -290,6 +328,7 @@ class ChainGroup:
             return
         step = self._step
         self._advance_fn(0, 0, count=True)
+        self._advance_fn(0, 0, count=False)
         self._step = step
 
     def burn(self, sweeps: int):
