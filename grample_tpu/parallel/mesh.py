@@ -255,14 +255,19 @@ class ShardedChainGroup(ChainGroup):
         if self.slot_cap == 0:
             return
         step = self._step
+        state_h = np.asarray(self.state)
+        halves_h = np.asarray(self.halves)
         self.state, self.halves, _ = sharded_advance(
             self.mesh, self.state, self.halves, self.stack, self._next_key(),
-            0, 0, count=True,
+            1, 0, count=True,
         )
         self.state, self.halves, _ = sharded_advance(
             self.mesh, self.state, self.halves, self.stack, self._next_key(),
-            0, 0, count=False,
+            1, 1, count=False,
         )
+        np.asarray(self.halves)  # sync: wait out first-run overheads
+        self.state = self._shard(state_h, STATE_SPEC)
+        self.halves = self._shard(halves_h, HALVES_SPEC)
         self._step = step
 
     def burn(self, sweeps: int):

@@ -316,19 +316,25 @@ class ChainGroup:
         self.halves = jnp.concatenate(halves) if len(halves) > 1 else halves[0]
 
     def warmup(self):
-        """Compile both sweep programs (counted + burn) with no side effect.
+        """Compile AND first-execute both sweep programs, side-effect free.
 
         Sweep counts are traced, so these two compiles serve every window
         and burn-in size.  Engines call it before anchoring time budgets:
-        a cold TPU compile can take minutes and must not eat the run (or
-        the adaptation half-life).  Zero sweeps advance nothing, window
-        counts gain zero, and the RNG step is restored.
+        a cold TPU compile can take minutes, and on tunneled devices the
+        first *execution* of a program carries a one-time cost too —
+        so run one real sweep of each program, force a host sync, then
+        restore the exact prior state/window/RNG (bit-exact neutrality).
         """
         if self.slot_cap == 0:
             return
         step = self._step
-        self._advance_fn(0, 0, count=True)
-        self._advance_fn(0, 0, count=False)
+        state_h = np.asarray(self.state)
+        halves_h = np.asarray(self.halves)
+        self._advance_fn(1, 0, count=True)
+        self._advance_fn(1, 1, count=False)
+        np.asarray(self.halves)  # sync: wait out first-run overheads
+        self.state = jnp.asarray(state_h)
+        self.halves = jnp.asarray(halves_h)
         self._step = step
 
     def burn(self, sweeps: int):
