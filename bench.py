@@ -18,6 +18,12 @@ by an assumption" is not a benchmark):
 ``vs_baseline`` = measured TPU samples/s ÷ measured anchor samples/s on
 the same model.  Output: ONE JSON line.
 
+Each TPU leg runs in its OWN subprocess: the tunneled TPU worker has
+been observed to crash after long multi-phase sessions, and a fresh
+process per phase both isolates that and gives each phase a clean HBM.
+Failed phases retry once and degrade to a partial result, never a dead
+benchmark.
+
 Env knobs: BENCH_CHAINS (131072), BENCH_SECS (120 per engine run),
 BENCH_NETS, GRAMPLE_RES.
 """
@@ -26,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -36,31 +43,48 @@ CHAINS = int(os.environ.get("BENCH_CHAINS", "131072"))
 SECS = float(os.environ.get("BENCH_SECS", "120"))
 NETS = os.environ.get("BENCH_NETS", "Grids_13,Promedus_19").split(",")
 ANCHOR_SAMPLES = int(os.environ.get("BENCH_ANCHOR_SAMPLES", "40000000"))
+MARKER = "BENCH-PHASE-RESULT:"
 
 
-def measure_anchor(model):
-    """Single-core C++ reference-mirror: (samples/s, mean hellinger)."""
+# --------------------------------------------------------------------------
+# phases (each runs in a fresh subprocess; prints one MARKER line)
+
+def phase_anchor(net: str) -> dict:
+    """Single-core C++ reference-mirror: rate + long-run accuracy."""
     from grample_tpu.metrics import error_suite
+    from grample_tpu.metrics.divergences import pad_marginals
     from grample_tpu.native import anchor_gibbs
+    from grample_tpu.uai import load_model, read_mar_file
 
+    path = os.path.join(RES, net + ".uai")
+    model = load_model(path, use_evidence=os.path.exists(path + ".evid"))
     out = anchor_gibbs(model, ANCHOR_SAMPLES, seed=5)
     if out is None:
-        return None, None
+        return {}
     counts, _secs, rate = out
-    k = counts.shape[1]
-    est = counts.astype(np.float64)
-    est += (np.arange(k)[None, :] < model.cards[:, None]) / np.maximum(
-        model.cards[:, None], 1
-    )
-    return rate, est
+    res = {"anchor_samples_per_sec": round(rate, 1)}
+    mar = path + ".MAR"
+    if os.path.exists(mar):
+        k = counts.shape[1]
+        est = counts.astype(np.float64)
+        est += (np.arange(k)[None, :] < model.cards[:, None]) / np.maximum(
+            model.cards[:, None], 1
+        )
+        sol = pad_marginals(read_mar_file(mar), model.cards)
+        a = error_suite(est, sol, model.cards, model.fixed, None)
+        res["anchor_mean_hellinger"] = round(float(a.mean_hellinger), 4)
+    return res
 
 
-def measure_throughput(model):
+def phase_throughput(net: str) -> dict:
     """Aggregate site-samples/s of the device sweep at BENCH_CHAINS."""
     import jax
 
     from grample_tpu.sampler.chains import ChainGroup
+    from grample_tpu.uai import load_model
 
+    path = os.path.join(RES, net + ".uai")
+    model = load_model(path, use_evidence=os.path.exists(path + ".evid"))
     g = ChainGroup(model, chains_per_variant=CHAINS, converge_window=64, seed=42)
     g.add_variant(model)
     g.burn(8)
@@ -73,24 +97,30 @@ def measure_throughput(model):
     rate = taken / (time.time() - t0)
 
     # estimated arithmetic per site update (base matmul + table lookup +
-    # draw); honest lower-bound utilization figure, not a marketing MFU
+    # draw); an honest lower-bound utilization figure, not marketing MFU
     caps = g.caps
     if caps.sweep_mode == "matmul":
         base_flops = 2 * caps.adj_cap * caps.num_rows
     else:
         base_flops = 4 * caps.adj_cap * caps.scope_cap
     fps = base_flops + 2 * caps.adj_cap * caps.oa_cap * caps.max_card + 8 * caps.max_card
-    return rate, g.use_pallas, fps
+    return {
+        "tpu_samples_per_sec": round(rate, 1),
+        "pallas": bool(g.use_pallas),
+        "est_flops_per_site": fps,
+        "est_tflops": round(rate * fps / 1e12, 2),
+        "platform": jax.devices()[0].platform,
+    }
 
 
-def engine_quality(path, model, secs):
+def phase_engine(net: str) -> dict:
     """Adaptive engine run at a real budget; scores vs .MAR and merlin."""
-    from grample_tpu.metrics import error_suite
-    from grample_tpu.metrics.divergences import pad_marginals
     from grample_tpu.sampler.engine import Engine, EngineConfig
-    from grample_tpu.uai import read_mar_file
+    from grample_tpu.uai import load_model
 
-    # micro-chains per slot sized by model width so the 128-slot stack's
+    path = os.path.join(RES, net + ".uai")
+    model = load_model(path, use_evidence=os.path.exists(path + ".evid"))
+    # micro-chains per slot sized by model width so the reserved stack's
     # window tensors stay well inside HBM
     vchains = 1024 if model.num_vars <= 256 else 256
     cfg = EngineConfig(
@@ -102,18 +132,16 @@ def engine_quality(path, model, secs):
         chains_per_variant=vchains,
         chain_adds=4,  # reference script/experiment:5-38
         reserve_slots=128,
-        max_secs=secs,
+        max_secs=SECS,
         seed=1,
-        converge_window=-1,
+        burnin=2000 * model.num_vars,
+        # windows sized for the TPU: the full reference cwin (2000 sweeps)
+        # per loop tick would out-sample the budget per tick
+        converge_window=64 * model.num_vars,
     )
-    # windows sized for the TPU: the full reference cwin (2000 sweeps)
-    # per loop tick at 128k chains would out-sample the budget per tick
-    cfg.burnin = 2000 * model.num_vars
-    cfg.converge_window = 64 * model.num_vars
-    eng = Engine(cfg, log=lambda s: None)
-    res = eng.run()
+    res = Engine(cfg, log=lambda s: None).run()
     out = {
-        "samples_per_sec": round(res.samples_per_sec, 1),
+        "engine_samples_per_sec": round(res.samples_per_sec, 1),
         "samples": res.samples,
         "chains": res.chains,
         "collapsed_vars": len(res.collapsed),
@@ -123,59 +151,77 @@ def engine_quality(path, model, secs):
     if res.merlin_score is not None:
         out["merlin_mean_hellinger"] = round(float(res.merlin_score.mean_hellinger), 4)
         out["merlin_max_hellinger"] = round(float(res.merlin_score.max_hellinger), 4)
-        out["beats_merlin_mean"] = out["mean_hellinger"] <= out["merlin_mean_hellinger"]
+        out["beats_merlin_mean"] = bool(
+            out["mean_hellinger"] <= out["merlin_mean_hellinger"]
+        )
     return out
 
 
+PHASES = {
+    "anchor": phase_anchor,
+    "throughput": phase_throughput,
+    "engine": phase_engine,
+}
+
+
+def run_phase_subprocess(phase: str, net: str, timeout: float) -> dict:
+    """Run one phase in a fresh process (clean TPU worker); retry once."""
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), phase, net],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith(MARKER):
+                    return json.loads(line[len(MARKER):])
+            err = (proc.stderr or "").strip().splitlines()
+            last = err[-1][:200] if err else f"exit {proc.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"timeout after {timeout}s"
+        if attempt == 2:
+            return {"error": f"{phase} failed: {last}"}
+    return {}
+
+
 def main() -> int:
+    if len(sys.argv) == 3 and sys.argv[1] in PHASES:
+        print(MARKER + json.dumps(PHASES[sys.argv[1]](sys.argv[2])))
+        return 0
+
     t0 = time.time()
-    import jax
-
-    from grample_tpu.metrics import error_suite
-    from grample_tpu.metrics.divergences import pad_marginals
-    from grample_tpu.uai import load_model, read_mar_file
-
     detail = {}
     headline_rate = None
     headline_anchor = None
     for name in NETS:
-        path = os.path.join(RES, name + ".uai")
-        if not os.path.exists(path):
+        if not os.path.exists(os.path.join(RES, name + ".uai")):
             continue
-        model = load_model(path, use_evidence=os.path.exists(path + ".evid"))
-        sol = None
-        if os.path.exists(path + ".MAR"):
-            sol = pad_marginals(read_mar_file(path + ".MAR"), model.cards)
-
-        anchor_rate, anchor_est = measure_anchor(model)
-        rate, used_pallas, fps = measure_throughput(model)
-        d = {
-            "tpu_samples_per_sec": round(rate, 1),
-            "anchor_samples_per_sec": round(anchor_rate, 1) if anchor_rate else None,
-            "speedup_vs_anchor": round(rate / anchor_rate, 1) if anchor_rate else None,
-            "pallas": used_pallas,
-            "est_flops_per_site": fps,
-            "est_tflops": round(rate * fps / 1e12, 2),
-        }
-        if sol is not None and anchor_est is not None:
-            a = error_suite(anchor_est, sol, model.cards, model.fixed, None)
-            d["anchor_mean_hellinger"] = round(float(a.mean_hellinger), 4)
-        d["engine"] = engine_quality(path, model, SECS)
+        d = {}
+        d.update(run_phase_subprocess("anchor", name, 600))
+        d.update(run_phase_subprocess("throughput", name, 1200))
+        d.update(run_phase_subprocess("engine", name, SECS + 900))
+        if d.get("anchor_samples_per_sec") and d.get("tpu_samples_per_sec"):
+            d["speedup_vs_anchor"] = round(
+                d["tpu_samples_per_sec"] / d["anchor_samples_per_sec"], 1
+            )
         detail[name] = d
-        if headline_rate is None:
-            headline_rate, headline_anchor = rate, anchor_rate
+        if headline_rate is None and d.get("tpu_samples_per_sec"):
+            headline_rate = d["tpu_samples_per_sec"]
+            headline_anchor = d.get("anchor_samples_per_sec")
 
     print(
         json.dumps(
             {
                 "metric": f"gibbs_site_samples_per_sec ({NETS[0]}, {CHAINS} chains)",
-                "value": round(headline_rate, 1),
+                "value": headline_rate,
                 "unit": "samples/s/chip",
                 "vs_baseline": round(headline_rate / headline_anchor, 1)
-                if headline_anchor
+                if headline_rate and headline_anchor
                 else None,
                 "baseline": "measured single-core C++ reference-mirror (samples/s)",
-                "platform": jax.devices()[0].platform,
                 "detail": detail,
                 "wall_s": round(time.time() - t0, 1),
             }

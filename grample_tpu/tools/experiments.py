@@ -125,6 +125,38 @@ def summarize(rows, out):
     return wins, losses
 
 
+def run_one_isolated(res_dir, net, mode, secs, vchains, seed, timeout) -> dict:
+    """One run in a fresh subprocess: the tunneled TPU worker has been
+    observed to crash after long multi-phase sessions, so a 60-run suite
+    must not share one process.  Retries once."""
+    import subprocess
+
+    marker = "EXPERIMENT-RESULT:"
+    cmd = [
+        sys.executable, "-m", "grample_tpu.tools.experiments",
+        "--res", res_dir, "--nets", net, "--modes", mode,
+        "--secs", str(secs), "--vchains", str(vchains), "--seed", str(seed),
+        "--one-shot",
+    ]
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith(marker):
+                    return json.loads(line[len(marker):])
+            err = (proc.stderr or "").strip().splitlines()
+            last = err[-1][:200] if err else f"exit {proc.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"timeout after {timeout}s"
+        if attempt == 2:
+            return {"net": net, "mode": mode, "error": last}
+    return {}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--res", default=DEFAULT_RES)
@@ -135,6 +167,10 @@ def main(argv=None) -> int:
     ap.add_argument("--vchains", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out", default="", help="JSONL output path")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each (net, mode) in a fresh subprocess")
+    ap.add_argument("--one-shot", action="store_true",
+                    help="internal: emit a single machine-readable result")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -142,11 +178,23 @@ def main(argv=None) -> int:
     modes = args.modes.split(",")
     log = print if args.verbose else (lambda s: None)
 
+    if args.one_shot:
+        r = run_one(args.res, nets[0], modes[0], args.secs, args.vchains,
+                    args.seed, log)
+        print("EXPERIMENT-RESULT:" + json.dumps(r), flush=True)
+        return 0
+
     rows = []
     fh = open(args.out, "w") if args.out else None
     for net in nets:
         for mode in modes:
-            r = run_one(args.res, net, mode, args.secs, args.vchains, args.seed, log)
+            if args.isolate:
+                r = run_one_isolated(args.res, net, mode, args.secs,
+                                     args.vchains, args.seed,
+                                     timeout=args.secs + 900)
+            else:
+                r = run_one(args.res, net, mode, args.secs, args.vchains,
+                            args.seed, log)
             rows.append(r)
             line = json.dumps(r)
             print(line, flush=True)
