@@ -27,4 +27,37 @@ Layer map (bottom-up), mirroring the reference layer map (SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX at an on-disk XLA compilation cache.
+
+    The bench and the acceptance suite run every phase in a fresh
+    subprocess (the tunneled TPU worker can die after long multi-phase
+    sessions), which discards the in-memory executable cache; first
+    compiles cost 20-40s each.  A persistent cache makes retries and
+    repeated (net, mode) shapes near-free across processes.  Opt out
+    with GRAMPLE_NO_COMPILE_CACHE=1 (tests on ephemeral CI disks).
+    """
+    if _os.environ.get("GRAMPLE_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache = _os.environ.get(
+            "GRAMPLE_COMPILE_CACHE",
+            _os.path.join(
+                _os.path.expanduser("~"), ".cache", "grample_tpu", "xla"
+            ),
+        )
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a failure
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from grample_tpu.pgm.discrete import DiscreteModel, Factor  # noqa: F401

@@ -47,7 +47,7 @@ state/count update in the sweep is a contiguous ``dynamic_update_slice``
 arrays (``new_of_old`` / ``old_of_new`` / ``slot_of_old``) map between
 the layouts once per advance window, not per sweep.
 
-**Base-index computation** has two device modes, chosen per model by
+**Base-index computation** has three device modes, chosen per model by
 :func:`sweep_mode`:
 
   - ``"matmul"``: per-color constant stride matrices ``sw_wbase [NC,
@@ -56,10 +56,16 @@ the layouts once per advance window, not per sweep.
     integers (strides are LOCAL mixed-radix, <= OA_DENSE_CAP; state
     <= 15), exact even in bf16 matmuls.  This is the fast path: measured
     ~1.7x over row-gathers on TPU v5e.
-  - ``"gather"``: int32 row-gathers (exact by construction), used when
-    the Wbase constants (per variant slot!) would blow the HBM budget —
-    very high-degree models (Alchemy's blanket-60 vars) or many-variant
-    adaptive runs on large nets.
+  - ``"rowgather"``: the SAME dense local-table bank (one-hot × local
+    table on the MXU), but base indices come from int32 row-gathers over
+    ``sw_scope_vars``/``sw_other_strides`` instead of the Wbase matmul.
+    Used when the Wbase constants (per variant slot!) would blow the HBM
+    budget — e.g. many-variant adaptive runs on large nets (Promedus).
+    Slightly slower base step, identical everything else.
+  - ``"gather"``: int32 flat-table gathers for EVERY incidence — no
+    local tables, no one-hot.  Last resort, when even the local-table
+    bank would blow HBM across variant slots (very high-degree models
+    with huge per-var table slices).
 
 A sentinel padding variable lives at the row after the group blocks
 (card 1, never updated); all index padding points at it so gathers stay
@@ -91,6 +97,10 @@ OA_DENSE_CAP = 32
 #: Total ``sw_wbase`` bytes across all stacked variant slots before the
 #: sweep falls back from the MXU matmul base path to int32 row-gathers.
 WBASE_TOTAL_BUDGET = 1024 * 1024 * 1024
+
+#: Total dense local-table bytes across all stacked variant slots before
+#: the sweep abandons the dense bank entirely for the all-gather mode.
+LOCAL_TABLES_TOTAL_BUDGET = 2 * 1024 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -259,22 +269,32 @@ def compute_caps(
     variant ever outgrows them, so eager headroom is an optimization for
     adaptive/collapsed runs, never a requirement (ADVICE.md r1, medium).
 
-    Two passes: the first assumes the dense (matmul/one-hot) bank; if the
-    resulting per-slot constants would blow the HBM budget (Wbase times
-    ``slot_hint``, or the padded one-hot working set), the second pass
-    reclassifies EVERY incidence into the gather bank — no local tables,
-    no Wbase, no one-hot: the O(blanket) flat-table gather path.
+    Three tiers: the first pass assumes the dense (matmul/one-hot) bank;
+    if the per-slot Wbase constants would blow the HBM budget (Wbase
+    times ``slot_hint``), keep the dense bank but drop Wbase — base
+    indices via int32 row-gathers (``"rowgather"``).  Only if the dense
+    local tables THEMSELVES would blow HBM across slots does the second
+    pass reclassify every incidence into the flat-table gather bank
+    (``"gather"``) — no local tables, no Wbase, no one-hot.
     """
     caps = _compute_caps_once(
         m, headroom_factors, headroom_table, group_cap, collapse_headroom,
         slot_hint, dense_ok=True,
     )
+    slots = max(slot_hint, 1)
     wbase = caps.color_cap * caps.group_cap * caps.adj_cap * caps.num_rows * 4
-    if wbase * max(slot_hint, 1) > WBASE_TOTAL_BUDGET:
-        caps = _compute_caps_once(
-            m, headroom_factors, headroom_table, group_cap, collapse_headroom,
-            slot_hint, dense_ok=False,
+    if wbase * slots > WBASE_TOTAL_BUDGET:
+        lt = (
+            caps.color_cap * caps.group_cap * caps.adj_cap
+            * caps.oa_cap * caps.max_card * 4
         )
+        if lt * slots <= LOCAL_TABLES_TOTAL_BUDGET:
+            caps = dataclasses.replace(caps, base_mode="rowgather")
+        else:
+            caps = _compute_caps_once(
+                m, headroom_factors, headroom_table, group_cap,
+                collapse_headroom, slot_hint, dense_ok=False,
+            )
     return caps
 
 
