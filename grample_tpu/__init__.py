@@ -45,6 +45,12 @@ def _enable_persistent_compile_cache() -> None:
     try:
         import jax
 
+        # never override a cache dir the embedding application configured
+        # (env var or an earlier jax.config.update) — ADVICE r2
+        if _os.environ.get("JAX_COMPILATION_CACHE_DIR") or getattr(
+            jax.config, "jax_compilation_cache_dir", None
+        ):
+            return
         cache = _os.environ.get(
             "GRAMPLE_COMPILE_CACHE",
             _os.path.join(

@@ -122,7 +122,11 @@ def sharded_advance(
         state, halves = jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None))(
             stack, state, halves, keys, num_sweeps, half_point
         )
-        delta = lax.psum(halves.sum(axis=(1, 2)), CHAIN_AXIS)  # [n_local, V+1, K]
+        # int32 sum: counts are exact integers; f32 loses exactness past
+        # 2^24 at large chain counts × window sizes
+        delta = lax.psum(
+            halves.astype(jnp.int32).sum(axis=(1, 2)), CHAIN_AXIS
+        )  # [n_local, V+1, K]
         return state, halves, delta
 
     return jax.shard_map(
@@ -279,7 +283,7 @@ class ShardedChainGroup(ChainGroup):
         )
         self.total_sweeps += sweeps
 
-    def advance(self, sweeps=None) -> int:
+    def advance(self, sweeps=None, defer: bool = False) -> int:
         sweeps = self.cw if sweeps is None else int(sweeps)
         # zeros_like preserves the HALVES_SPEC sharding — no single-device
         # transient (ADVICE r1)
@@ -288,12 +292,16 @@ class ShardedChainGroup(ChainGroup):
             self.mesh, self.state, self.halves, self.stack, self._next_key(),
             sweeps, sweeps // 2, count=True,
         )
-        delta = np.asarray(delta, dtype=np.float64)
-        delta[~self._chain_mask()] = 0.0
-        self.totals += delta
+        # same deferred-delta protocol as ChainGroup.advance: the psum'd
+        # int32 delta stays on device until flush()
+        self._pending.append((delta, self.num_variants))
         self.total_sweeps += sweeps
-        taken = int(delta.sum())
+        taken = sweeps * self.cpv * sum(
+            int(mv.free_mask.sum()) for mv in self.variants
+        )
         self.total_samples += taken
+        if not defer:
+            self.flush()
         return taken
 
     def convergence(self, measure="hellinger", merged=None) -> np.ndarray:

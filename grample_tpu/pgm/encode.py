@@ -102,6 +102,10 @@ WBASE_TOTAL_BUDGET = 1024 * 1024 * 1024
 #: the sweep abandons the dense bank entirely for the all-gather mode.
 LOCAL_TABLES_TOTAL_BUDGET = 2 * 1024 * 1024 * 1024
 
+#: Resource-tier precedence for merging caps: a merged encoding must use
+#: the *most* conservative base mode of its inputs.
+_MODE_RANK = {"matmul": 0, "rowgather": 1, "gather": 2}
+
 
 @dataclasses.dataclass(frozen=True)
 class EncodeCaps:
@@ -414,7 +418,11 @@ def merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
         gfac_cap=max(a.gfac_cap, b.gfac_cap),
         tail_cap=max(a.tail_cap, b.tail_cap),
         slot_hint=max(a.slot_hint, b.slot_hint),
-        base_mode="gather" if "gather" in (a.base_mode, b.base_mode) else "matmul",
+        # mode precedence gather > rowgather > matmul: merging must never
+        # re-enable a resource tier the budget check rejected (ADVICE r2:
+        # the old `"gather" in (...)` test mapped rowgather back to matmul
+        # and re-materialized the per-slot Wbase HBM blowup)
+        base_mode=max(a.base_mode, b.base_mode, key=_MODE_RANK.__getitem__),
     )
 
 
@@ -502,8 +510,13 @@ def encode_model(
             adj_scope_strides[u, j, : f.scope.size] = ss
 
             cu = int(m.cards[u])
+            # rowgather keeps the dense local-table bank (it only skips the
+            # Wbase constants); ONLY the all-gather mode classifies every
+            # incidence into the gather bank (VERDICT r2 #1: classifying
+            # with `== "matmul"` routed rowgather models into a gather bank
+            # sized for dense classification, crashing Promedus_19)
             dense, rows = _classify_local(
-                f.table.size, cu, caps.sweep_mode == "matmul"
+                f.table.size, cu, caps.sweep_mode != "gather"
             )
             if dense:
                 jd = ndense[u]

@@ -59,7 +59,8 @@ def exact_marginals(m: DiscreteModel, max_states: int = 1 << 22) -> np.ndarray:
     if total > max_states:
         raise ValueError(f"state space {total} too large for brute force")
     assigns = enumerate_assignments(m.cards, m.fixed)
-    w = np.exp(joint_log_weights(m, assigns) - joint_log_weights(m, assigns).max())
+    logw = joint_log_weights(m, assigns)
+    w = np.exp(logw - logw.max())
     k = m.max_card
     out = np.zeros((m.num_vars, k), dtype=np.float64)
     for i in range(m.num_vars):

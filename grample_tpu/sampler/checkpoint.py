@@ -61,6 +61,7 @@ def _model_from_dict(d: dict) -> DiscreteModel:
 def save_checkpoint(path: str, group: ChainGroup, cfg=None,
                     runtime: float = 0.0) -> None:
     """Atomic snapshot (tmp file + rename)."""
+    group.flush()  # fold deferred window deltas into totals first
     meta = {
         "version": FORMAT_VERSION,
         "cpv": group.cpv,

@@ -42,7 +42,7 @@ class EngineConfig:
     chains: int = 0  # logical chains (variant slots); <=0 → 2
     chains_per_variant: int = 64  # micro-chains per slot (TPU vectorization)
     chain_adds: int = 1  # new chains per adapt step (adaptive only)
-    max_iters: int = 0  # site updates; 0 = unlimited
+    max_iters: int = 0  # site updates; 0 = unlimited, <0 → 20000·V
     max_secs: float = 300.0
     seed: int = 0  # <1 → wall clock
     measure: str = "hellinger"
@@ -150,13 +150,16 @@ class Engine:
         cw_sweeps = max(2, cw_sweeps)
         n_slots = cfg.chains if cfg.chains > 0 else 2
         n_slots = max(2 if cfg.sampler == "adaptive" else 1, n_slots)
+        # reference cmd/root.go:352-358: negative maxiters derives
+        # 20000·|vars|; the flag default 0 means unlimited (time-bounded)
+        max_iters = 20000 * v if cfg.max_iters < 0 else cfg.max_iters
         if cfg.sampler != "adaptive" and cfg.chain_adds != 1:
             raise ValueError(f"sampler is not adaptive: chain_adds={cfg.chain_adds} makes no sense")
 
         self.log(
             f"sampler={cfg.sampler} seed={seed} burnin={burn_sweeps} sweeps "
             f"cwin={cw_sweeps} sweeps chains={n_slots}x{cfg.chains_per_variant} "
-            f"maxsecs={cfg.max_secs} maxiters={cfg.max_iters}"
+            f"maxsecs={cfg.max_secs} maxiters={max_iters}"
         )
 
         prior_runtime = 0.0
@@ -218,12 +221,29 @@ class Engine:
         keep_working = True
         score = None
 
+        win_time = None  # EMA: measured seconds per counted window
         while keep_working:
-            group.advance(cw_sweeps)
+            # Dispatch a BATCH of windows with deferred count deltas (no
+            # host sync between windows), sized so one batch ≈ the status
+            # cadence: the device stays busy while the host only scores/
+            # adapts every ~status_secs, matching the reference's ~5s
+            # scoring loop (cmd/root.go:498-539).  r2 scored+synced every
+            # window and converted <3% of sweep speed into inference.
+            if win_time is None:
+                nwin = 1
+            else:
+                budget = min(cfg.status_secs, max(stop_time - time.time(), 0.25))
+                nwin = max(1, min(64, int(budget / max(win_time, 1e-4))))
+            t_w0 = time.time()
+            for _ in range(nwin):
+                group.advance(cw_sweeps, defer=True)
+            group.flush()
+            dt = (time.time() - t_w0) / nwin
+            win_time = dt if win_time is None else 0.5 * win_time + 0.5 * dt
             now = time.time()
             if cfg.max_secs > 0 and now > stop_time:
                 keep_working = False
-            if cfg.max_iters > 0 and group.total_samples > cfg.max_iters:
+            if max_iters > 0 and group.total_samples > max_iters:
                 keep_working = False
 
             if now > next_status or not keep_working or cfg.experiment:

@@ -242,6 +242,72 @@ def test_gather_mode_vs_exact(rng):
     assert h.max() < 0.02, h
 
 
+def test_rowgather_mode_bit_identical_to_matmul(rng):
+    """base_mode='rowgather' (dense local-table bank, int32 base gathers
+    instead of the Wbase matmul) must produce the SAME chains: both modes
+    share the group layout and the RNG stream, so trajectories are
+    bit-identical, not just statistically equal.  Regression for VERDICT
+    r2 #1 (rowgather models crashed at encode)."""
+    import dataclasses
+
+    from grample_tpu.pgm.encode import compute_caps
+
+    m = rand_model(rng, v=6, max_card=3, n_factors=7)
+    caps = compute_caps(m)
+    assert caps.sweep_mode == "matmul"
+    caps_rg = dataclasses.replace(caps, base_mode="rowgather")
+    enc_mm = encode_model(m, caps)
+    enc_rg = encode_model(m, caps_rg)
+    assert enc_rg.sw_wbase is None
+    # identical dense bank: rowgather only skips the Wbase constants
+    np.testing.assert_array_equal(enc_rg.sw_local_tables, enc_mm.sw_local_tables)
+    np.testing.assert_array_equal(enc_rg.gb_mask, enc_mm.gb_mask)
+
+    def run(enc):
+        stack = {k: jnp.asarray(v) for k, v in stack_variants([enc]).items()}
+        key = jax.random.key(5, impl="rbg")
+        state = init_state(stack, key, 64, m.max_card)
+        halves = jnp.zeros((1, 2, 64, m.num_vars + 1, m.max_card), jnp.float32)
+        state, halves = advance_chains(
+            stack, state, halves, jax.random.fold_in(key, 1), 40, 20
+        )
+        return np.asarray(state), np.asarray(halves)
+
+    st_mm, hv_mm = run(enc_mm)
+    st_rg, hv_rg = run(enc_rg)
+    np.testing.assert_array_equal(st_rg, st_mm)
+    np.testing.assert_array_equal(hv_rg, hv_mm)
+
+
+def test_rowgather_budget_selection_and_merge(rng):
+    """Shrinking WBASE_TOTAL_BUDGET must select rowgather (not gather),
+    the encode must route incidences into the dense bank, and merge_caps
+    must PRESERVE the rowgather tier (ADVICE r2: the old merge silently
+    re-enabled the Wbase blowup)."""
+    from grample_tpu.pgm import encode as enc_mod
+    from grample_tpu.pgm.encode import compute_caps, merge_caps
+
+    m = rand_model(rng, v=8, max_card=3, n_factors=9)
+    old = enc_mod.WBASE_TOTAL_BUDGET
+    try:
+        enc_mod.WBASE_TOTAL_BUDGET = 1  # force past the Wbase budget
+        caps = compute_caps(m, slot_hint=128)
+    finally:
+        enc_mod.WBASE_TOTAL_BUDGET = old
+    assert caps.sweep_mode == "rowgather"
+    enc = encode_model(m, caps)
+    assert enc.sw_wbase is None
+    assert (enc.sw_local_tables != 0).any()  # dense bank populated
+    # merge precedence: gather > rowgather > matmul
+    mm = compute_caps(m)
+    assert merge_caps(caps, mm).sweep_mode == "rowgather"
+    assert merge_caps(mm, caps).sweep_mode == "rowgather"
+    import dataclasses
+
+    ga = dataclasses.replace(mm, base_mode="gather")
+    assert merge_caps(caps, ga).sweep_mode == "gather"
+
+
 def test_determinism():
     m = load_model(res_path("deterministic.uai"))
     a = _run_chains(m, sweeps=50, chains=64, seed=7)
