@@ -40,7 +40,7 @@ import numpy as np
 
 RES = os.environ.get("GRAMPLE_RES", "/root/reference/res")
 CHAINS = int(os.environ.get("BENCH_CHAINS", "131072"))
-SECS = float(os.environ.get("BENCH_SECS", "120"))
+SECS = float(os.environ.get("BENCH_SECS", "300"))  # reference experiment budget
 NETS = os.environ.get("BENCH_NETS", "Grids_13,Promedus_19").split(",")
 ANCHOR_SAMPLES = int(os.environ.get("BENCH_ANCHOR_SAMPLES", "40000000"))
 MARKER = "BENCH-PHASE-RESULT:"
@@ -121,8 +121,8 @@ def phase_engine(net: str) -> dict:
     path = os.path.join(RES, net + ".uai")
     model = load_model(path, use_evidence=os.path.exists(path + ".evid"))
     # micro-chains per slot sized by model width so the reserved stack's
-    # window tensors stay well inside HBM
-    vchains = 1024 if model.num_vars <= 256 else 256
+    # window tensors (128 slots × 2 × C × (V+1) × K f32) stay inside HBM
+    vchains = 8192 if model.num_vars <= 256 else 1024
     cfg = EngineConfig(
         model_path=path,
         use_evidence=os.path.exists(path + ".evid"),
@@ -131,7 +131,11 @@ def phase_engine(net: str) -> dict:
         chains=2,
         chains_per_variant=vchains,
         chain_adds=4,  # reference script/experiment:5-38
-        reserve_slots=128,
+        # NO eager reserve_slots: the chunked advance compiles per chunk
+        # shape, so slot growth never recompiles — but an eager 128-slot
+        # restack uploads GBs of (identical) encodings + state over the
+        # TPU tunnel before the run starts.  Lazy pow2 growth uploads
+        # only what the adapt loop actually activates.
         max_secs=SECS,
         seed=1,
         burnin=2000 * model.num_vars,

@@ -109,7 +109,7 @@ def pallas_eligible(caps, platform: Optional[str] = None) -> bool:
 
 def pick_block(caps) -> int:
     """Chain-block width: biggest lane-multiple within the VMEM budget."""
-    for cb in (1024, 512, 256, 128):
+    for cb in (2048, 1024, 512, 256, 128):
         if _vmem_estimate(caps, cb) <= VMEM_BUDGET:
             return cb
     return 128
@@ -165,10 +165,16 @@ def _make_kernel(nc, g, f, oa, k, nvp, nslot, cb, count: bool):
                 logits = []
                 masks = []
                 for kk in range(k):
-                    accv = jnp.zeros((fg, cb), jnp.float32)
-                    for o in range(oa):
+                    # select-chain lookup: base is a local mixed-radix
+                    # index, always in [0, OA), so the last row is the
+                    # default and needs no comparison — one select per
+                    # remaining row instead of a where+add per row
+                    accv = jnp.broadcast_to(
+                        lt_ref[0, ci, oa - 1, kk, :].reshape(fg, 1), (fg, cb)
+                    )
+                    for o in range(oa - 1):
                         ltc = lt_ref[0, ci, o, kk, :].reshape(fg, 1)
-                        accv = accv + jnp.where(base == float(o), ltc, 0.0)
+                        accv = jnp.where(base == float(o), ltc, accv)
                     lg = accv.reshape(f, g, cb).sum(axis=0)  # [G, CB]
                     mk = km_ref[0, ci, kk, :].reshape(g, 1)
                     masks.append(mk)

@@ -94,7 +94,7 @@ HALVES_SPEC = P(VARIANT_AXIS, None, CHAIN_AXIS, None, None)  # [N, 2, C, V+1, K]
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "count"),
+    static_argnames=("mesh", "count", "use_pallas", "cb"),
     donate_argnums=(1, 2),
 )
 def sharded_advance(
@@ -106,6 +106,9 @@ def sharded_advance(
     num_sweeps,  # traced int scalar — one compile for every window size
     half_point,
     count: bool = True,
+    pal=None,  # pallas-layout constants, leading axis N (use_pallas only)
+    use_pallas: bool = False,
+    cb: int = 0,
 ):
     """One advance window over the mesh.
 
@@ -113,15 +116,33 @@ def sharded_advance(
     window's count increment summed over ALL chains of each variant —
     the collective MergeChains input (psum over the chains axis, then
     implicitly all-gathered to hosts when fetched).
-    """
 
-    def body(state, halves, stack, key, num_sweeps, half_point):
+    With ``use_pallas`` the VMEM-resident sweep kernel runs per device
+    over its local (variants, chains) shard — the kernel itself needs no
+    collectives, so shard_map composes with it directly; only the count
+    merge below is collective.
+    """
+    from grample_tpu.ops.gibbs_pallas import advance_chains_pallas
+
+    def body(state, halves, stack, pal, key, num_sweeps, half_point):
         n_local = state.shape[0]
-        keys = _global_fold(key, n_local)
-        fn = partial(_advance_one, count=count)
-        state, halves = jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None))(
-            stack, state, halves, keys, num_sweeps, half_point
-        )
+        if use_pallas:
+            # one seed per device shard: the kernel derives per-cell
+            # counters from its seed, so shards must never share one
+            skey = jax.random.fold_in(
+                jax.random.fold_in(key, lax.axis_index(VARIANT_AXIS)),
+                lax.axis_index(CHAIN_AXIS),
+            )
+            state, halves = advance_chains_pallas(
+                stack, pal, state, halves, skey, num_sweeps, half_point,
+                count=count, cb=cb,
+            )
+        else:
+            keys = _global_fold(key, n_local)
+            fn = partial(_advance_one, count=count)
+            state, halves = jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None))(
+                stack, state, halves, keys, num_sweeps, half_point
+            )
         # int32 sum: counts are exact integers; f32 loses exactness past
         # 2^24 at large chain counts × window sizes
         delta = lax.psum(
@@ -129,12 +150,18 @@ def sharded_advance(
         )  # [n_local, V+1, K]
         return state, halves, delta
 
+    if pal is None:
+        pal = {}
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(STATE_SPEC, HALVES_SPEC, ENC_SPEC, P(), P(), P()),
+        in_specs=(STATE_SPEC, HALVES_SPEC, ENC_SPEC, ENC_SPEC, P(), P(), P()),
         out_specs=(STATE_SPEC, HALVES_SPEC, P(VARIANT_AXIS)),
-    )(state, halves, stack, key, jnp.asarray(num_sweeps), jnp.asarray(half_point))
+        # pallas_call outputs carry no varying-mesh-axes metadata, which
+        # trips shard_map's vma checker; the specs above are the
+        # hand-verified SPMD contract
+        check_vma=False,
+    )(state, halves, stack, pal, key, jnp.asarray(num_sweeps), jnp.asarray(half_point))
 
 
 @partial(jax.jit, static_argnames=("mesh", "measure"))
@@ -205,9 +232,6 @@ class ShardedChainGroup(ChainGroup):
 
     def __init__(self, *args, mesh: Optional[Mesh] = None, **kw):
         self.mesh = mesh or chain_mesh()
-        # the sharded advance drives the XLA sweep under shard_map; the
-        # Pallas kernel is single-chip only for now
-        kw["use_pallas"] = False
         super().__init__(*args, **kw)
         cdim = self.mesh.shape[CHAIN_AXIS]
         if self.cpv % cdim != 0:
@@ -215,6 +239,11 @@ class ShardedChainGroup(ChainGroup):
                 f"chains_per_variant={self.cpv} not divisible by mesh "
                 f"chains axis {cdim}"
             )
+
+    def _local_chains(self) -> int:
+        """Per-device chain width: the Pallas kernel sees local shards."""
+        cdim = self.mesh.shape[CHAIN_AXIS]
+        return self.cpv // cdim if self.cpv % cdim == 0 else 0
 
     # -- sharded placement -------------------------------------------------
     def _shard(self, x, spec):
@@ -239,6 +268,10 @@ class ShardedChainGroup(ChainGroup):
         if self.stack is None:
             return
         self.stack = {k: self._shard(v, ENC_SPEC) for k, v in self.stack.items()}
+        if self.pal_stack is not None:
+            self.pal_stack = {
+                k: self._shard(v, ENC_SPEC) for k, v in self.pal_stack.items()
+            }
         self.state = self._shard(self.state, STATE_SPEC)
 
     def _alloc_halves(self):
@@ -251,8 +284,27 @@ class ShardedChainGroup(ChainGroup):
         # .at[].set on sharded arrays preserves sharding; re-pin anyway so
         # layout never silently degrades to single-device.
         self.stack = {k: self._shard(v, ENC_SPEC) for k, v in self.stack.items()}
+        if self.pal_stack is not None:
+            self.pal_stack = {
+                k: self._shard(v, ENC_SPEC) for k, v in self.pal_stack.items()
+            }
         self.state = self._shard(self.state, STATE_SPEC)
         return slot
+
+    def restore_device_state(self, state, halves):
+        """Checkpointed tensors come back sharded over the mesh."""
+        self.state = self._shard(np.asarray(state, dtype=np.int32), STATE_SPEC)
+        self.halves = self._shard(
+            np.asarray(halves, dtype=np.float32), HALVES_SPEC
+        )
+
+    def _advance_window(self, sweeps, half, count: bool):
+        """One sharded_advance call with the group's compute-path config."""
+        return sharded_advance(
+            self.mesh, self.state, self.halves, self.stack, self._next_key(),
+            sweeps, half, count=count, pal=self.pal_stack,
+            use_pallas=self.use_pallas, cb=self.pal_block,
+        )
 
     # -- sharded compute ----------------------------------------------------
     def warmup(self):
@@ -261,14 +313,8 @@ class ShardedChainGroup(ChainGroup):
         step = self._step
         state_h = np.asarray(self.state)
         halves_h = np.asarray(self.halves)
-        self.state, self.halves, _ = sharded_advance(
-            self.mesh, self.state, self.halves, self.stack, self._next_key(),
-            1, 0, count=True,
-        )
-        self.state, self.halves, _ = sharded_advance(
-            self.mesh, self.state, self.halves, self.stack, self._next_key(),
-            1, 1, count=False,
-        )
+        self.state, self.halves, _ = self._advance_window(1, 0, count=True)
+        self.state, self.halves, _ = self._advance_window(1, 1, count=False)
         np.asarray(self.halves)  # sync: wait out first-run overheads
         self.state = self._shard(state_h, STATE_SPEC)
         self.halves = self._shard(halves_h, HALVES_SPEC)
@@ -277,9 +323,8 @@ class ShardedChainGroup(ChainGroup):
     def burn(self, sweeps: int):
         if sweeps <= 0 or self.slot_cap == 0:
             return
-        self.state, self.halves, _ = sharded_advance(
-            self.mesh, self.state, self.halves, self.stack, self._next_key(),
-            int(sweeps), int(sweeps), count=False,
+        self.state, self.halves, _ = self._advance_window(
+            int(sweeps), int(sweeps), count=False
         )
         self.total_sweeps += sweeps
 
@@ -288,9 +333,8 @@ class ShardedChainGroup(ChainGroup):
         # zeros_like preserves the HALVES_SPEC sharding — no single-device
         # transient (ADVICE r1)
         self.halves = jnp.zeros_like(self.halves)
-        self.state, self.halves, delta = sharded_advance(
-            self.mesh, self.state, self.halves, self.stack, self._next_key(),
-            sweeps, sweeps // 2, count=True,
+        self.state, self.halves, delta = self._advance_window(
+            sweeps, sweeps // 2, count=True
         )
         # same deferred-delta protocol as ChainGroup.advance: the psum'd
         # int32 delta stays on device until flush()

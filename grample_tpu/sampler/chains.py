@@ -107,6 +107,11 @@ class ChainGroup:
             group_cap=group_cap,
             collapse_headroom=collapse_headroom,
             slot_hint=max_variants if collapse_headroom else 1,
+            # plain groups never mutate the factor graph: spare factor
+            # slots would only pad the base matmul/select loops (~29%
+            # dead FLOPs on Grids); growth stays lazy if a variant ever
+            # needs more
+            headroom_factors=2 if collapse_headroom else 0,
         )
         # rbg: counter-based, vastly cheaper per bit on TPU than threefry
         # (the sweep draws one uniform per site); deterministic per seed.
@@ -150,11 +155,30 @@ class ChainGroup:
         self._step += 1
         return jax.random.fold_in(self.key, self._step)
 
+    def _local_chains(self) -> int:
+        """Chains per variant per device (overridden by the sharded group)."""
+        return self.cpv
+
     def _refresh_pallas(self, want: Optional[bool]):
-        """Re-evaluate Pallas-kernel eligibility (caps may have grown)."""
-        auto = pallas_eligible(self.caps) and self.cpv % pick_block(self.caps) == 0
+        """Re-evaluate Pallas-kernel eligibility (caps may have grown).
+
+        ``want=True`` forces the kernel where the caps allow it even off
+        TPU (interpret mode — used by mesh dryruns/tests); ``want=None``
+        auto-selects it on TPU only.
+        """
+        import jax
+
+        local = self._local_chains()
+        block = pick_block(self.caps)
+        if want is True and jax.default_backend() != "tpu" and 0 < local < block:
+            block = local  # interpret mode: any positive lane width works
+        auto = (
+            pallas_eligible(self.caps, platform="tpu" if want is True else None)
+            and local > 0
+            and local % block == 0
+        )
         self.use_pallas = auto if want is None else (want and auto)
-        self.pal_block = pick_block(self.caps) if self.use_pallas else 0
+        self.pal_block = block if self.use_pallas else 0
         self.pal_stack = None
 
     def _encode_grown(self, model: DiscreteModel) -> tuple:
@@ -433,6 +457,13 @@ class ChainGroup:
             d[nact:] = 0.0
             self.totals += d
         self._pending.clear()
+
+    def restore_device_state(self, state: np.ndarray, halves: np.ndarray):
+        """Place checkpointed chain state/window tensors on device
+        (the sharded group overrides this to restore with its mesh
+        shardings instead of single-device placement)."""
+        self.state = jnp.asarray(state)
+        self.halves = jnp.asarray(halves)
 
     # ---- estimation ------------------------------------------------------
     def collapsed_any(self) -> np.ndarray:

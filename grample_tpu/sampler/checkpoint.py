@@ -89,29 +89,44 @@ def save_checkpoint(path: str, group: ChainGroup, cfg=None,
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, base_model: DiscreteModel) -> Tuple[ChainGroup, dict]:
-    """Rebuild a ChainGroup from a snapshot. Returns (group, meta)."""
-    import jax.numpy as jnp
+def load_checkpoint(
+    path: str, base_model: DiscreteModel, make_group=None
+) -> Tuple[ChainGroup, dict]:
+    """Rebuild a chain group from a snapshot. Returns (group, meta).
 
+    ``make_group(model, **kw)`` constructs the group — pass a factory
+    that builds a :class:`~grample_tpu.parallel.mesh.ShardedChainGroup`
+    to resume a run onto a device mesh (the engine wires this from its
+    ``--mesh`` config; r2 silently resumed single-device).  The factory
+    must honor the snapshot's ``chains_per_variant``/``converge_window``/
+    ``seed`` keywords — they define the tensor shapes being restored.
+    """
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["meta"]))
     if meta["version"] != FORMAT_VERSION:
         raise ValueError(f"checkpoint version {meta['version']} unsupported")
-    group = ChainGroup(
-        base_model,
+    kw = dict(
         chains_per_variant=meta["cpv"],
         converge_window=meta["cw"],
         seed=meta.get("seed", 0),
-        collapse_headroom=any(
-            any(mv["collapsed"]) for mv in meta["variants"]
-        ),
+        collapse_headroom=any(any(mv["collapsed"]) for mv in meta["variants"]),
     )
+    group = (make_group or ChainGroup)(base_model, **kw)
+    if group.cpv != meta["cpv"] or group.cw != meta["cw"]:
+        raise ValueError("group factory ignored the checkpoint's shape keywords")
     for mv in meta["variants"]:
         group.add_variant(_model_from_dict(mv))
     group.reserve(meta.get("slot_cap", 0))
-    group.state = jnp.asarray(data["state"])
-    group.halves = jnp.asarray(data["halves"])
-    group.totals = np.array(data["totals"], dtype=np.float64)
+    # slot capacity may legitimately round UP on a mesh (the variant axis
+    # tiles the device grid): keep the freshly initialized padding rows
+    # and overwrite the snapshotted prefix
+    state = np.array(group.state)  # copies: np.load views are read-only
+    halves = np.array(group.halves)
+    n = min(state.shape[0], data["state"].shape[0])
+    state[:n] = data["state"][:n]
+    halves[:n] = data["halves"][:n]
+    group.restore_device_state(state, halves)
+    group.totals[:n] = np.array(data["totals"], dtype=np.float64)[:n]
     group._step = meta["step"]
     group.total_samples = meta["total_samples"]
     group.total_sweeps = meta["total_sweeps"]

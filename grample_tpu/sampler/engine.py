@@ -166,7 +166,11 @@ class Engine:
         if cfg.resume and cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
             from grample_tpu.sampler.checkpoint import load_checkpoint
 
-            group, meta = load_checkpoint(cfg.checkpoint_path, model)
+            # resume honors --mesh: the factory reconstructs a sharded
+            # group when configured (r2 silently dropped the mesh here)
+            group, meta = load_checkpoint(
+                cfg.checkpoint_path, model, make_group=self._group_factory(cfg)
+            )
             cw_sweeps = group.cw
             prior_runtime = float(meta.get("runtime", 0.0))
             self.log(
@@ -453,43 +457,48 @@ class Engine:
         )
 
     def _make_group(self, cfg: EngineConfig, model, cw_sweeps: int, seed: int):
-        """ChainGroup, or ShardedChainGroup over a device mesh.
+        return self._group_factory(cfg)(
+            model,
+            chains_per_variant=cfg.chains_per_variant,
+            converge_window=cw_sweeps,
+            seed=seed,
+            collapse_headroom=cfg.sampler in ("adaptive", "collapsed"),
+        )
+
+    def _group_factory(self, cfg: EngineConfig):
+        """Factory: ChainGroup, or ShardedChainGroup over a device mesh.
 
         Sharded mode re-expresses the reference's goroutine-per-chain
         parallelism (``sampler/chain.go:197-215``) as the
         ``(variants, chains)`` mesh of ``parallel/mesh.py``: sweeps run
         communication-free under shard_map; MergeChains/PSRF reductions
-        ride ICI collectives.
+        ride ICI collectives.  Used both for fresh runs and for
+        checkpoint resume (which overrides the shape keywords).
         """
-        import jax
 
-        kw = dict(
-            chains_per_variant=cfg.chains_per_variant,
-            converge_window=cw_sweeps,
-            seed=seed,
-            max_variants=cfg.max_variants,
-            # adaptive/collapsed runs add collapse variants later: size the
-            # caps for them now so variant encoding never forces a
-            # re-encode + recompile mid-run
-            collapse_headroom=cfg.sampler in ("adaptive", "collapsed"),
-        )
-        use_mesh = cfg.mesh not in ("", "off") and (
-            cfg.mesh != "auto" or len(jax.devices()) > 1
-        )
-        if not use_mesh:
-            return ChainGroup(model, **kw)
+        def make(model, **kw):
+            import jax
 
-        from grample_tpu.parallel.mesh import ShardedChainGroup, chain_mesh
-
-        if cfg.mesh == "auto":
-            mesh = chain_mesh()
-        else:
-            vways, _, cways = cfg.mesh.partition("x")
-            mesh = chain_mesh(
-                n_devices=int(vways) * int(cways), variant_ways=int(vways)
+            kw.setdefault("max_variants", cfg.max_variants)
+            use_mesh = cfg.mesh not in ("", "off") and (
+                cfg.mesh != "auto" or len(jax.devices()) > 1
             )
-        self.log(f"device mesh: {dict(mesh.shape)} over {mesh.size} devices")
-        return ShardedChainGroup(model, mesh=mesh, **kw)
+            if not use_mesh:
+                return ChainGroup(model, **kw)
+
+            from grample_tpu.parallel.mesh import ShardedChainGroup, chain_mesh
+
+            if cfg.mesh == "auto":
+                mesh = chain_mesh()
+            else:
+                vways, _, cways = cfg.mesh.partition("x")
+                mesh = chain_mesh(
+                    n_devices=int(vways) * int(cways), variant_ways=int(vways)
+                )
+            self.log(f"device mesh: {dict(mesh.shape)} over {mesh.size} devices")
+            return ShardedChainGroup(model, mesh=mesh, **kw)
+
+        return make
 
     def save_checkpoint(self, group: ChainGroup, runtime: float = 0.0):
         from grample_tpu.sampler.checkpoint import save_checkpoint
