@@ -308,6 +308,51 @@ def test_rowgather_budget_selection_and_merge(rng):
     assert merge_caps(caps, ga).sweep_mode == "gather"
 
 
+@pytest.mark.parametrize("mode", ["matmul", "rowgather", "gather", "pallas"])
+def test_mode_matrix_vs_exact(mode, rng):
+    """One model, every compute path (VERDICT r2 #8): the MXU-matmul base,
+    the rowgather base, the all-gather bank, and the Pallas kernel (Mosaic
+    interpret mode on CPU) must all converge to the exact marginals."""
+    import dataclasses
+
+    from grample_tpu.pgm.encode import compute_caps
+    from grample_tpu.sampler.chains import ChainGroup
+
+    m = rand_model(rng, v=6, max_card=3, n_factors=7)
+    truth = exact_marginals(m)
+    caps = compute_caps(m)
+    assert caps.sweep_mode == "matmul"
+    if mode == "rowgather":
+        caps = dataclasses.replace(caps, base_mode="rowgather")
+    elif mode == "gather":
+        caps = dataclasses.replace(
+            caps, base_mode="gather", adj_cap=0, oa_cap=1,
+            gfac_cap=caps.adj_cap + caps.gfac_cap,
+        )
+    chains = 128 if mode == "pallas" else 512
+    g = ChainGroup(
+        m, chains_per_variant=chains, converge_window=64, seed=13, caps=caps
+    )
+    if mode == "pallas":
+        # eligibility requires a TPU backend; force the interpret path
+        g.use_pallas = True
+        g.pal_block = 128
+    g.add_variant(m)
+    if mode == "pallas":
+        assert g.pal_stack is not None
+    else:
+        assert (g.stack.get("sw_wbase") is not None) == (mode == "matmul")
+    g.burn(40)
+    win, nwin = (60, 4) if mode == "pallas" else (100, 6)
+    for _ in range(nwin):
+        g.advance(win)
+    est = g.merged_marginals()
+    est = est / est.sum(axis=1, keepdims=True)
+    h = hellinger(est, truth, m.cards)
+    # >= 30k draws/var in every mode: 0.04 Hellinger is a >5-sigma bound
+    assert h.max() < 0.04, (mode, h)
+
+
 def test_determinism():
     m = load_model(res_path("deterministic.uai"))
     a = _run_chains(m, sweeps=50, chains=64, seed=7)
