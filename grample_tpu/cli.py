@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--adapt-policy", default="worst", choices=["worst", "ref-tail"])
     s.add_argument("--no-warm-start", action="store_true",
                    help="uniform-init adaptive chains (reference behavior)")
+    s.add_argument("--anneal", type=int, default=20, metavar="STAGES",
+                   help="tempered burn-in stages (0 = plain uniform-init "
+                        "burn, the reference behavior)")
+    s.add_argument("--no-rb-mixture", action="store_true",
+                   help="freeze collapsed-var marginals at collapse time "
+                        "(reference behavior) instead of the RB mixture")
     s.add_argument("--mar-out", default="", help="write final MAR solution to file")
     s.add_argument("--checkpoint", default="", help="checkpoint file path")
     s.add_argument("--checkpoint-secs", type=float, default=60.0)
@@ -111,6 +117,8 @@ def cmd_sample(args) -> int:
         measure=args.measure,
         adapt_policy=args.adapt_policy,
         warm_start=not args.no_warm_start,
+        anneal_stages=args.anneal,
+        rb_mixture=not args.no_rb_mixture,
         trace_path=args.trace,
         experiment=args.experiment,
         verbose=args.verbose,

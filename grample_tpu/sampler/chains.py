@@ -49,12 +49,25 @@ from grample_tpu.pgm.encode import (
 
 MAX_VARIANTS = 128  # reference ConvergenceSampler.MaxChains (adaptive.go:49)
 
+#: Default tempered burn-in stages (see :meth:`ChainGroup.burn_annealed`).
+ANNEAL_STAGES = 20
+
 #: Variant slots advance in fixed-size chunks: ONE compiled program (the
 #: chunk shape never changes) while inactive reserved slots cost nothing —
 #: r1 advanced the full padded slot capacity every window, so a freshly
 #: started adaptive run with 2 of 128 reserved slots burned 64x the
 #: needed compute (and its burn-in blew the whole time budget).
 CHUNK_SLOTS = 8
+
+
+@jax.jit
+def _rb_indices(state, slots, rest, strides):
+    """Mixed-radix blanket indices for the RB mixture, one program for
+    every collapsed (slot, var): state [N, C, V+1], slots [n], rest/
+    strides [n, B] (sentinel-padded, stride 0) → idx [n, C] int32."""
+    st = state[slots]  # [n, C, V+1]
+    g = jnp.take_along_axis(st, rest[:, None, :], axis=2)  # [n, C, B]
+    return (g * strides[:, None, :]).sum(axis=2)
 
 
 def _next_pow2(n: int) -> int:
@@ -95,6 +108,7 @@ class ChainGroup:
         max_variants: int = MAX_VARIANTS,
         collapse_headroom: bool = False,
         use_pallas: Optional[bool] = None,
+        rb_mixture: bool = True,
     ):
         base_model.check()
         self.base = base_model
@@ -133,6 +147,12 @@ class ChainGroup:
         # pairs not yet folded into ``totals`` — lets the engine dispatch
         # many advance windows without a host sync per window
         self._pending: List[tuple] = []
+        # Rao-Blackwell mixture state for collapsed vars, keyed (slot, var):
+        # cached conditional tables, and running sums of snapshot estimates
+        self.rb_mixture = bool(rb_mixture)
+        self._rb_cond: dict = {}
+        self._rb_sum: dict = {}
+        self._rb_n: dict = {}
 
     # ---- capacity management --------------------------------------------
     @property
@@ -416,6 +436,50 @@ class ChainGroup:
         self._advance_fn(int(sweeps), int(sweeps), count=False)
         self.total_sweeps += sweeps
 
+    def burn_annealed(self, sweeps: int, stages: int = ANNEAL_STAGES):
+        """Tempered burn-in: β ramps 1/stages → 1 over equal sweep blocks.
+
+        Gibbs quenches on near-deterministic models (the UAI grids): from
+        uniform init each chain freezes into a local mode within a few
+        sweeps and the chain-ensemble marginal plateaus at the *quench
+        measure* — deeper burn-in does not move it (measured on Grids_13:
+        mean Hellinger 0.443 after a 100-sweep burn and still 0.438 after
+        32000).  Ramping the log-potentials (tables × β) instead lets the
+        ensemble re-equilibrate while the landscape sharpens, landing
+        mode weights near Boltzmann: 0.368 on the same 2000-sweep budget.
+        The β=1 stationary chain is untouched — this is purely an
+        initialization policy, replacing the reference's uniform-init
+        quench (``sampler/gibbs-simple.go:101-112``).  Works identically
+        on the sharded group: the scaled stacks inherit the originals'
+        shardings.
+        """
+        if sweeps <= 0 or self.slot_cap == 0:
+            return
+        stages = max(1, min(int(stages), int(sweeps)))
+        per = sweeps // stages
+        stack0, pal0 = self.stack, self.pal_stack
+        try:
+            for i in range(stages):
+                beta = (i + 1.0) / stages
+                n = per + (sweeps - per * stages if i == stages - 1 else 0)
+                if beta < 1.0:
+                    # scale only log-potential tables; strides/masks/maps
+                    # are structural
+                    self.stack = {
+                        k: (v * beta if k in ("tables", "sw_local_tables") else v)
+                        for k, v in stack0.items()
+                    }
+                    if pal0 is not None:
+                        self.pal_stack = {
+                            k: (v * beta if k == "pal_lt" else v)
+                            for k, v in pal0.items()
+                        }
+                else:
+                    self.stack, self.pal_stack = stack0, pal0
+                self.burn(n)
+        finally:
+            self.stack, self.pal_stack = stack0, pal0
+
     def advance(self, sweeps: Optional[int] = None, defer: bool = False) -> int:
         """Advance all chains one convergence window (counted).
 
@@ -466,6 +530,74 @@ class ChainGroup:
         self.halves = jnp.asarray(halves)
 
     # ---- estimation ------------------------------------------------------
+    def rb_accumulate(self) -> None:
+        """Snapshot the Rao-Blackwell mixture estimate for collapsed vars.
+
+        The reference freezes a collapsed variable's marginal at collapse
+        time as the local blanket enumeration (``gibbs-collapsed.go:243``)
+        — static, and blind to the rest of the graph.  The true RB
+        estimator averages the exact conditional P(var | blanket) over
+        the collapsed variant's chain samples: the variant's chains
+        sample the *marginalized* model, whose joint over the remaining
+        vars is exactly the base joint with var integrated out, so the
+        mixture converges to the true marginal (measured on Grids_13 the
+        static approximation plateaus at mean Hellinger 0.418).
+
+        One call accumulates one snapshot per (slot, collapsed var) into
+        running sums; :meth:`merged_marginals` uses the running average
+        when available and falls back to the static marginal otherwise.
+        Engines call this at scoring cadence — chain states a window
+        apart are decorrelated enough that snapshots stack like fresh
+        samples.  Device work is one gather program for ALL collapsed
+        vars (per-var host loops would pay tunnel latency per variant).
+        """
+        if not self.rb_mixture:
+            return
+        v = self.caps.num_vars
+        base_col = self.base.collapsed[:v]
+        targets = []
+        for slot, mv in enumerate(self.variants):
+            for var in np.nonzero(mv.collapsed[:v] & ~base_col)[0]:
+                targets.append((slot, int(var)))
+        if not targets:
+            return
+        from grample_tpu.sampler.collapse import collapse_conditional
+
+        infos = []
+        bmax = 1
+        for key in targets:
+            info = self._rb_cond.get(key)
+            if info is None:
+                info = collapse_conditional(self.base, key[1])
+                self._rb_cond[key] = info
+            infos.append(info)
+            bmax = max(bmax, info[0].size)
+        n = len(targets)
+        slots = np.array([s for s, _ in targets], dtype=np.int32)
+        # sentinel column (stride 0) pads ragged blankets
+        rest = np.full((n, bmax), v, dtype=np.int32)
+        strides = np.zeros((n, bmax), dtype=np.int32)
+        for i, (r, s, _c) in enumerate(infos):
+            rest[i, : r.size] = r
+            strides[i, : r.size] = s
+        idx = np.asarray(
+            _rb_indices(
+                self.state,
+                jnp.asarray(slots),
+                jnp.asarray(rest),
+                jnp.asarray(strides),
+            )
+        )
+        for key, (_r, _s, cond), row in zip(targets, infos, idx):
+            counts = np.bincount(row, minlength=cond.shape[0]).astype(np.float64)
+            probs = counts @ cond / counts.sum()
+            if key in self._rb_sum:
+                self._rb_sum[key] += probs
+                self._rb_n[key] += 1
+            else:
+                self._rb_sum[key] = probs
+                self._rb_n[key] = 1
+
     def collapsed_any(self) -> np.ndarray:
         """[V] bool: collapsed in any active variant."""
         v = self.caps.num_vars
@@ -488,12 +620,20 @@ class ChainGroup:
         uniform = valid / np.maximum(cards[:, None], 1)
         merged = self.num_chains * uniform + self.totals[: self.num_variants, :v].sum(axis=0)
         # collapsed override in slot order, first-found wins (matches the
-        # reference's break-on-found in MergeChains)
+        # reference's break-on-found in MergeChains); the RB mixture
+        # average supersedes the static collapse marginal when snapshots
+        # have accumulated (see rb_accumulate) — scale is irrelevant,
+        # every consumer renormalizes per row
         seen = np.zeros(v, dtype=bool)
-        for mv in self.variants:
+        for slot, mv in enumerate(self.variants):
             for var in np.nonzero(mv.collapsed[:v] & ~seen)[0]:
                 merged[var] = 0.0
-                merged[var, : mv.marginals.shape[1]] = mv.marginals[var]
+                nrb = self._rb_n.get((slot, int(var)))
+                if self.rb_mixture and nrb:
+                    est = self._rb_sum[(slot, int(var))] / nrb
+                    merged[var, : est.size] = est
+                else:
+                    merged[var, : mv.marginals.shape[1]] = mv.marginals[var]
                 seen[var] = True
         return merged
 

@@ -80,6 +80,19 @@ def save_checkpoint(path: str, group: ChainGroup, cfg=None,
         "halves": np.asarray(group.halves),
         "totals": group.totals,
     }
+    # RB mixture running sums (the conditional tables themselves are
+    # deterministic functions of the base model and re-derived lazily)
+    rb_keys = sorted(group._rb_sum)
+    if rb_keys:
+        arrays["rb_keys"] = np.array(rb_keys, dtype=np.int64)  # [n, 2]
+        kmax = max(group._rb_sum[k].size for k in rb_keys)
+        sums = np.zeros((len(rb_keys), kmax), dtype=np.float64)
+        for i, k in enumerate(rb_keys):
+            sums[i, : group._rb_sum[k].size] = group._rb_sum[k]
+        arrays["rb_sums"] = sums
+        arrays["rb_ns"] = np.array(
+            [group._rb_n[k] for k in rb_keys], dtype=np.int64
+        )
     fd, tmp = tempfile.mkstemp(
         suffix=".npz", dir=os.path.dirname(os.path.abspath(path)) or "."
     )
@@ -130,6 +143,13 @@ def load_checkpoint(
     group._step = meta["step"]
     group.total_samples = meta["total_samples"]
     group.total_sweeps = meta["total_sweeps"]
+    if "rb_keys" in data:
+        for (slot, var), s, cnt in zip(
+            data["rb_keys"], data["rb_sums"], data["rb_ns"]
+        ):
+            card = int(base_model.cards[int(var)])
+            group._rb_sum[(int(slot), int(var))] = np.array(s[:card])
+            group._rb_n[(int(slot), int(var))] = int(cnt)
     return group, meta
 
 

@@ -83,6 +83,63 @@ def pick_random_collapsible(m: DiscreteModel, rng: np.random.Generator) -> Optio
     return None
 
 
+def collapse_conditional(
+    m: DiscreteModel, var: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact conditional P(var | blanket∖{var}) as one dense table.
+
+    Returns ``(rest_vars [B], rest_strides [B], cond [T, card])`` where
+    ``T = prod(cards[rest])``: row ``r`` is the normalized conditional of
+    ``var`` given the rest-assignment with mixed-radix index ``r``.
+
+    This is the kernel of the true Rao-Blackwell *mixture* estimator
+    (see ``ChainGroup.rb_accumulate``): averaging these conditionals over
+    the collapsed variant's chain samples of the blanket converges to the
+    variable's true marginal.  The reference instead freezes the LOCAL
+    blanket enumeration at collapse time as the marginal forever
+    (``sampler/gibbs-collapsed.go:221-243``) — a static approximation
+    that ignores the rest of the graph.  Rows whose rest-assignment
+    conflicts with evidence are never visited by any chain (states honor
+    evidence) and are left at the 1e-12 seed.
+    """
+    if var < 0 or var >= m.num_vars:
+        raise CollapseError(f"invalid variable index {var}")
+    blanket = sorted(m.blankets()[var])
+    if len(blanket) > NEIGHBOR_VAR_MAX:
+        raise CollapseError(
+            f"blanket of var {var} has {len(blanket)} vars (> {NEIGHBOR_VAR_MAX})"
+        )
+    rest = [u for u in blanket if u != var]
+    if not rest:
+        raise CollapseError("conditional would have an empty given-set")
+    rest_arr = np.array(rest, dtype=np.int64)
+    tsize = int(np.prod(m.cards[rest_arr], dtype=np.float64).clip(max=2 * MAX_TABLE_SIZE))
+    if tsize > MAX_TABLE_SIZE:
+        raise CollapseError(f"conditional table {tsize} exceeds {MAX_TABLE_SIZE}")
+
+    blanket_arr = np.array(blanket, dtype=np.int64)
+    pos = {int(u): i for i, u in enumerate(blanket_arr)}
+    assigns = enumerate_assignments(m.cards[blanket_arr], m.fixed[blanket_arr])
+    logw = np.zeros(assigns.shape[0], dtype=np.float64)
+    for f in m.factors:
+        if var not in f.scope:
+            continue
+        t = f.table
+        if not f.is_log:
+            t = np.log(np.where(t < LOG_EPS, t + LOG_EPS, t))
+        cols = np.array([pos[int(u)] for u in f.scope], dtype=np.int64)
+        logw += t[assigns[:, cols] @ f.strides(m.cards)]
+    w = np.exp(logw)
+
+    card = int(m.cards[var])
+    rest_strides = table_strides(m.cards[rest_arr])
+    rest_cols = np.array([pos[int(u)] for u in rest_arr], dtype=np.int64)
+    cond = np.full((tsize, card), 1e-12, dtype=np.float64)
+    np.add.at(cond, (assigns[:, rest_cols] @ rest_strides, assigns[:, pos[var]]), w)
+    cond /= cond.sum(axis=1, keepdims=True)
+    return rest_arr, rest_strides, cond
+
+
 def collapse_var(m: DiscreteModel, var: int) -> Tuple[DiscreteModel, np.ndarray]:
     """Return (new model variant with ``var`` collapsed, exact marginal).
 

@@ -48,6 +48,12 @@ class EngineConfig:
     measure: str = "hellinger"
     adapt_policy: str = "worst"  # worst | ref-tail
     warm_start: bool = True
+    # tempered burn-in stages (0 = plain uniform-init burn, the
+    # reference-faithful quench; see ChainGroup.burn_annealed)
+    anneal_stages: int = 20
+    # Rao-Blackwell mixture estimator for collapsed vars (False = the
+    # reference's static collapse-time marginal; see rb_accumulate)
+    rb_mixture: bool = True
     trace_path: str = ""
     experiment: bool = False
     verbose: bool = False
@@ -201,7 +207,10 @@ class Engine:
                     raise ValueError(f"unknown sampler: {cfg.sampler}")
             group.warmup()  # compile off the budget clock
             t_clock = time.time()
-            group.burn(burn_sweeps)
+            if cfg.anneal_stages > 0:
+                group.burn_annealed(burn_sweeps, cfg.anneal_stages)
+            else:
+                group.burn(burn_sweeps)
 
         if self.monitor:
             self.monitor.update(
@@ -249,6 +258,10 @@ class Engine:
                 keep_working = False
             if max_iters > 0 and group.total_samples > max_iters:
                 keep_working = False
+
+            # RB mixture snapshot: one per loop tick — ticks are a window+
+            # apart, so chain states are decorrelated between snapshots
+            group.rb_accumulate()
 
             if now > next_status or not keep_working or cfg.experiment:
                 runtime = now - t_clock
@@ -463,6 +476,7 @@ class Engine:
             converge_window=cw_sweeps,
             seed=seed,
             collapse_headroom=cfg.sampler in ("adaptive", "collapsed"),
+            rb_mixture=cfg.rb_mixture,
         )
 
     def _group_factory(self, cfg: EngineConfig):

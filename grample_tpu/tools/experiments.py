@@ -59,7 +59,9 @@ def run_one(res_dir: str, net: str, mode: str, secs: float, vchains: int,
         chains=spec["chains"],
         chain_adds=spec["chain_adds"],
         chains_per_variant=vchains,
-        reserve_slots=128 if mode == "adaptive" else 0,
+        # no eager reserve: the chunked advance never recompiles on slot
+        # growth, while a 128-slot restack uploads GBs of identical
+        # encodings over the TPU tunnel before the run starts
         max_secs=secs * spec["secs_scale"],
         seed=seed,
         burnin=burnin,

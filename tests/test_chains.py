@@ -112,3 +112,102 @@ def test_grids_group_smoke():
     merged = g.merged_marginals()
     assert merged.shape == (100, 2)
     assert (merged.sum(axis=1) > 0).all()
+
+
+def test_collapse_conditional_matches_incident_product(rng):
+    """collapse_conditional row r must equal the normalized product of
+    incident factors at (var=k, rest=r) — the exact Gibbs conditional."""
+    from grample_tpu.sampler.collapse import collapse_conditional
+
+    f0 = Factor("f0", [0, 1], rng.random(4) + 0.1)
+    f1 = Factor("f1", [1, 2], rng.random(6) + 0.1)
+    f2 = Factor("f2", [0, 2], rng.random(6) + 0.1)  # not incident to var 1
+    m = DiscreteModel(type="MARKOV", cards=[2, 2, 3], factors=[f0, f1, f2])
+    rest, strides, cond = collapse_conditional(m, 1)
+    np.testing.assert_array_equal(rest, [0, 2])
+    np.testing.assert_array_equal(strides, [3, 1])
+    t0 = f0.table.reshape(2, 2)
+    t1 = f1.table.reshape(2, 3)
+    for a in range(2):
+        for c in range(3):
+            want = t0[a, :] * t1[:, c]
+            np.testing.assert_allclose(
+                cond[a * 3 + c], want / want.sum(), rtol=1e-6
+            )
+
+
+def test_rb_mixture_beats_static_collapse(rng):
+    """The RB mixture average over variant chain samples must recover the
+    TRUE marginal of a collapsed var even where the reference's static
+    collapse marginal is provably wrong (a non-incident factor couples
+    the blanket — the test_collapse_incident_only_semantics fixture)."""
+    f0 = Factor("f0", [0, 1], rng.random(4) + 0.1)
+    f1 = Factor("f1", [1, 2], rng.random(6) + 0.1)
+    f2 = Factor("f2", [0, 2], rng.random(6) + 0.1)
+    m = DiscreteModel(type="MARKOV", cards=[2, 2, 3], factors=[f0, f1, f2])
+    truth = exact_marginals(m)
+    variant, static = collapse_var(m, 1)
+    static_err = float(np.abs(static - truth[1, :2]).max())
+    assert static_err > 1e-3  # the fixture's point
+
+    g = ChainGroup(m, chains_per_variant=512, converge_window=32, seed=21)
+    g.add_variant(variant)
+    g.burn(50)
+    for _ in range(8):
+        g.advance(32)
+        g.rb_accumulate()
+    est = g.merged_marginals()
+    est1 = est[1, :2] / est[1, :2].sum()
+    rb_err = float(np.abs(est1 - truth[1, :2]).max())
+    # 512 chains x 8 snapshots: ~5 sigma < 0.01 on a binary marginal
+    assert rb_err < 0.015, (rb_err, static_err)
+    assert rb_err < static_err
+    # with the mixture disabled the static value comes through unchanged
+    g.rb_mixture = False
+    est_static = g.merged_marginals()
+    np.testing.assert_allclose(est_static[1, :2], static, rtol=1e-12)
+
+
+def test_burn_annealed_neutral_and_converges(rng):
+    """Tempered burn-in must restore the untempered stacks bit-for-bit,
+    count its sweeps, and leave chains sampling the correct posterior."""
+    m = small_model(rng)
+    truth = exact_marginals(m)
+    g = ChainGroup(m, chains_per_variant=512, converge_window=32, seed=5)
+    g.add_variant(m)
+    tables_before = np.asarray(g.stack["tables"])
+    g.burn_annealed(100, stages=10)
+    assert g.total_sweeps == 100
+    np.testing.assert_array_equal(np.asarray(g.stack["tables"]), tables_before)
+    for _ in range(4):
+        g.advance(64, defer=True)
+    g.flush()
+    est = g.merged_marginals()
+    est = est / est.sum(axis=1, keepdims=True)
+    h = hellinger(est, truth, m.cards)
+    assert h.max() < 0.03, h
+
+
+def test_rb_state_checkpoint_roundtrip(rng, tmp_path):
+    """rb running sums survive save/load (cond tables re-derive lazily)."""
+    from grample_tpu.sampler.checkpoint import load_checkpoint, save_checkpoint
+
+    f0 = Factor("f0", [0, 1], rng.random(4) + 0.1)
+    f1 = Factor("f1", [1, 2], rng.random(6) + 0.1)
+    m = DiscreteModel(type="MARKOV", cards=[2, 2, 3], factors=[f0, f1])
+    variant, _ = collapse_var(m, 1)
+    g = ChainGroup(m, chains_per_variant=32, converge_window=16, seed=3)
+    g.add_variant(variant)
+    g.burn(10)
+    g.advance(16)
+    g.rb_accumulate()
+    g.rb_accumulate()
+    path = str(tmp_path / "rb.npz")
+    save_checkpoint(path, g)
+    g2, _ = load_checkpoint(path, m)
+    assert g2._rb_n == g._rb_n
+    for k in g._rb_sum:
+        np.testing.assert_allclose(g2._rb_sum[k], g._rb_sum[k], rtol=1e-12)
+    np.testing.assert_allclose(
+        g2.merged_marginals(), g.merged_marginals(), rtol=1e-12
+    )

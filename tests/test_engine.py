@@ -49,6 +49,7 @@ def test_collapsed_run_deterministic_uai():
     cfg = base_cfg(
         res_path("deterministic.uai"), sampler="collapsed", chains=3,
         use_solution=False,
+        rb_mixture=False,  # assert the reference's STATIC collapse marginal
     )
     res = Engine(cfg, log=quiet).run()
     assert res.variants == 3
@@ -67,6 +68,7 @@ def test_adaptive_run(tmp_path):
         max_iters=60000,
         trace_path=trace,
         experiment=True,
+        rb_mixture=False,  # assert the reference's STATIC collapse marginal
     )
     res = Engine(cfg, log=quiet).run()
     # adaptation must have collapsed something
