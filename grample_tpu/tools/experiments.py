@@ -46,7 +46,7 @@ def suite_nets(res_dir: str):
 
 def run_one(res_dir: str, net: str, mode: str, secs: float, vchains: int,
             seed: int, log=lambda s: None, burnin: int = -1,
-            cwin: int = 0) -> dict:
+            cwin: int = 0, rb_mixture: bool = True) -> dict:
     from grample_tpu.sampler.engine import Engine, EngineConfig
 
     spec = MODES[mode]
@@ -59,6 +59,7 @@ def run_one(res_dir: str, net: str, mode: str, secs: float, vchains: int,
         chains=spec["chains"],
         chain_adds=spec["chain_adds"],
         chains_per_variant=vchains,
+        rb_mixture=rb_mixture,
         # no eager reserve: the chunked advance never recompiles on slot
         # growth, while a 128-slot restack uploads GBs of identical
         # encodings over the TPU tunnel before the run starts

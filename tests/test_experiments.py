@@ -41,8 +41,12 @@ def test_adaptive_beats_plain_deterministic():
     collapse is exact, so adaptive wins by a wide, non-flaky margin.
     """
     res_path("deterministic.uai")
-    # short windows so several adapt steps fit the CPU budget
-    kw = dict(secs=8.0, vchains=64, seed=7, burnin=60, cwin=120)
+    # short windows so several adapt steps fit the CPU budget; the
+    # exactness assertion below holds for the reference's STATIC
+    # collapse-time marginal (rb_mixture averages P(var|blanket) over
+    # chain samples, which carries 0.5/sqrt(chains) Monte-Carlo noise)
+    kw = dict(secs=8.0, vchains=64, seed=7, burnin=60, cwin=120,
+              rb_mixture=False)
     plain = run_one(RES_DIR, "deterministic", "plain", **kw)
     adaptive = run_one(RES_DIR, "deterministic", "adaptive", **kw)
     assert "error" not in plain and "error" not in adaptive
