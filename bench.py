@@ -24,7 +24,7 @@ process per phase both isolates that and gives each phase a clean HBM.
 Failed phases retry once and degrade to a partial result, never a dead
 benchmark.
 
-Env knobs: BENCH_CHAINS (131072), BENCH_SECS (120 per engine run),
+Env knobs: BENCH_CHAINS (262144), BENCH_SECS (300 per engine run),
 BENCH_NETS, GRAMPLE_RES.
 """
 
@@ -39,7 +39,7 @@ import time
 import numpy as np
 
 RES = os.environ.get("GRAMPLE_RES", "/root/reference/res")
-CHAINS = int(os.environ.get("BENCH_CHAINS", "131072"))
+CHAINS = int(os.environ.get("BENCH_CHAINS", "262144"))
 SECS = float(os.environ.get("BENCH_SECS", "300"))  # reference experiment budget
 NETS = os.environ.get("BENCH_NETS", "Grids_13,Promedus_19").split(",")
 ANCHOR_SAMPLES = int(os.environ.get("BENCH_ANCHOR_SAMPLES", "40000000"))
@@ -85,14 +85,19 @@ def phase_throughput(net: str) -> dict:
 
     path = os.path.join(RES, net + ".uai")
     model = load_model(path, use_evidence=os.path.exists(path + ".evid"))
-    g = ChainGroup(model, chains_per_variant=CHAINS, converge_window=64, seed=42)
+    g = ChainGroup(model, chains_per_variant=CHAINS, converge_window=256, seed=42)
     g.add_variant(model)
     g.burn(8)
     g.advance(8)  # compile count=True + settle
     t0 = time.time()
     taken = 0
+    # deferred windows: count deltas stay on device between windows (the
+    # engine's dispatch pattern); r2 measured with a blocking host
+    # reduction per 64-sweep window, which under-reported the kernel by
+    # 3-4x on the small nets (dispatch-bound, not kernel-bound)
     for _ in range(3):
-        taken += g.advance(64)
+        taken += g.advance(256, defer=True)
+    g.flush()
     jax.block_until_ready(g.state)
     rate = taken / (time.time() - t0)
 
