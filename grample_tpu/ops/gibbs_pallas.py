@@ -9,14 +9,31 @@ traffic per window is the initial state/topology load and the final
 state/count store.  Per chromatic color (all shapes 2-D, lane dim =
 chains):
 
-  base   = dot(Wbase[ci], state)      MXU, bf16 exact (ints <= 256)
+  base   = dot(Wbank[ci], state)      MXU, bf16 exact (ints <= 256)
   logits = select-unroll over (OA, K) VPU, fused, + per-factor reduce
   newv   = inverse-CDF draw           VPU + on-core PRNG
   state[block], counts[block]         contiguous VMEM slice updates
 
-Topology constants are pre-arranged f-major (row ``f*G + g``) so the
-per-factor reduction is a tile-aligned leading-axis sum — G is a
-multiple of 8 by construction (``encode.pick_group_cap``).
+**Incidence packing (two banks).**  The shared encode pads every
+variable to ``adj_cap`` factor slots, but real incidence counts are
+skewed (Promedus_19: mean 1.4, max 6, adj_cap 8 — 3.6x padding), and
+the kernel's cost is proportional to rows of the ``[rows, CB]``
+intermediates on BOTH pipelines (the base matmul on the MXU and the
+select/reduce passes on the VPU, which Mosaic tile-pipelines against
+each other).  So ``pallas_stack`` re-sorts each color group by
+descending real-incidence count (a kernel-private permutation — the
+shared color-contiguous layout is untouched) and packs incidences into
+two f-major banks:
+
+  heavy bank  [F2 * G2]  — the G2 highest-degree vars, F2 = max degree
+  light bank  [F1 * G1]  — the rest (G1 = G - G2), F1 slots each
+
+Bank splits are chosen by :func:`pal_bank_dims` to minimize total rows
+(measured 2.4x fewer rows on Promedus_19, 5x on Alchemy_11).  Rows
+whose local table is identically zero contribute nothing to any
+conditional (log-space) and are dropped.  Per-variable sums stay
+tile-aligned leading-axis reductions because G2/G1 are multiples of 8
+and each bank is f-major (row ``f*Gb + g``).
 
 Eligibility (``pallas_eligible``): matmul sweep mode, no gather-bank
 factors, OA <= 256 (bf16-exact base), and the VMEM working set within
@@ -29,7 +46,7 @@ is compiled code" (``sampler/gibbs-simple.go:163-271``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,39 +65,142 @@ VMEM_BUDGET = 88 * 1024 * 1024
 _INV24 = float(2.0**-24)
 
 
-def pallas_stack(encs) -> dict:
+class PalDimsError(ValueError):
+    """A variant's incidence profile exceeds the stack's bank dims."""
+
+
+def _incidence_degrees(enc) -> np.ndarray:
+    """[NC, G] real-incidence count per (color, group slot).
+
+    An incidence whose local table is identically zero is a constant-1
+    factor in log space: it adds the same value (0) to every outcome's
+    logit and cannot affect the conditional — dropped from the banks.
+    """
+    lt = enc.sw_local_tables  # [NC, G, F, OA, K]
+    return (np.abs(lt).max(axis=(3, 4)) > 0).sum(axis=2)
+
+
+def pal_bank_dims(encs) -> Tuple[int, int, int, int]:
+    """Pick ``(g2, f2, g1, f1)`` minimizing packed rows over all encs."""
+    G = encs[0].caps.group_cap
+    d = np.concatenate([_incidence_degrees(e) for e in encs], axis=0)
+    f2 = int(d.max(initial=0))
+    if f2 == 0:
+        return (0, 0, G, 0)
+    best = None
+    for f1 in range(f2 + 1):
+        g2 = int(-(-int((d > f1).sum(axis=1).max(initial=0)) // 8) * 8)
+        g2 = min(g2, G)
+        if g2 >= G:
+            cand = (f2 * G, (G, f2, 0, 0))
+        else:
+            cand = (f2 * g2 + f1 * (G - g2), (g2, f2, G - g2, f1))
+        if best is None or cand[0] < best[0]:
+            best = cand
+    return best[1]
+
+
+def pallas_stack(encs, dims: Optional[Tuple[int, int, int, int]] = None) -> dict:
     """Kernel-layout constants for a list of same-caps EncodedModels.
 
-    Derived from the ``sw_*`` sweep views:
-      pal_wbase [N, NC, F*G, NVp] f32  — base rows reordered f-major
-      pal_lt    [N, NC, OA, K, F*G] f32 — local-table value per (o, k, row)
-      pal_km    [N, NC, K, G] f32      — in-card mask
+    Emits (leading axis N = len(encs)):
+      pal_wb_h/pal_wb_l [N, NC, Fb*Gb, NVp] f32 — packed base matrices
+      pal_lt_h/pal_lt_l [N, NC, OA, K, Fb*Gb] f32 — packed table rows
+      pal_km   [N, NC, K, G]  f32 — in-card mask, kernel var order
+      pal_oon  [N, NVp] int32 — kernel row -> old var id
+      pal_noo  [N, V+1] int32 — old var id -> kernel row
+      pal_soo  [N, V+1] int32 — old var id -> kernel count slot
+
+    The kernel-private var order sorts each color group by descending
+    real-incidence degree so the heavy bank is a g-prefix; empty banks
+    (``g2==0`` or ``f1==0``) emit no arrays.  Raises
+    :class:`PalDimsError` when an enc does not fit ``dims`` (callers
+    re-derive dims and restack).
     """
-    out = {"pal_wbase": [], "pal_lt": [], "pal_km": []}
+    if dims is None:
+        dims = pal_bank_dims(encs)
+    g2, f2, g1, f1 = dims
+    caps = encs[0].caps
+    nc, G, F = caps.color_cap, caps.group_cap, caps.adj_cap
+    nvp, oa, k = caps.num_rows, caps.oa_cap, caps.max_card
+    banks = []  # (key_suffix, fb, gb, g_offset)
+    if g2 and f2:
+        banks.append(("h", f2, g2, 0))
+    if g1 and f1:
+        banks.append(("l", f1, g1, g2))
+    out = {f"pal_wb_{s}": [] for s, _, _, _ in banks}
+    out.update({f"pal_lt_{s}": [] for s, _, _, _ in banks})
+    out.update(pal_km=[], pal_oon=[], pal_noo=[], pal_soo=[])
+
     for enc in encs:
-        caps = enc.caps
-        nc, gg, ff = caps.color_cap, caps.group_cap, caps.adj_cap
-        nvp = caps.num_rows
-        wb = enc.sw_wbase.reshape(nc, gg, ff, nvp)
-        out["pal_wbase"].append(
-            np.ascontiguousarray(wb.transpose(0, 2, 1, 3).reshape(nc, ff * gg, nvp))
-        )
         lt = enc.sw_local_tables  # [NC, G, F, OA, K]
-        out["pal_lt"].append(
-            np.ascontiguousarray(
-                lt.transpose(0, 3, 4, 2, 1).reshape(
-                    nc, caps.oa_cap, caps.max_card, ff * gg
+        real = np.abs(lt).max(axis=(3, 4)) > 0  # [NC, G, F]
+        deg = real.sum(axis=2)  # [NC, G]
+        perm = np.argsort(-deg, axis=1, kind="stable")  # [NC, G]
+        sd = np.take_along_axis(deg, perm, axis=1)
+        if sd.max(initial=0) > f2 or (g1 and (sd[:, g2:] > f1).any()):
+            raise PalDimsError(
+                f"variant incidence profile (max {int(sd.max(initial=0))}, "
+                f"heavy {int((deg > f1).sum(axis=1).max(initial=0))}) "
+                f"exceeds pal bank dims {dims}"
+            )
+
+        shared_of_pal = np.arange(nvp, dtype=np.int32)
+        for ci in range(nc):
+            shared_of_pal[ci * G:(ci + 1) * G] = ci * G + perm[ci]
+        pal_of_shared = np.empty_like(shared_of_pal)
+        pal_of_shared[shared_of_pal] = np.arange(nvp, dtype=np.int32)
+        out["pal_oon"].append(enc.old_of_new[shared_of_pal])
+        out["pal_noo"].append(pal_of_shared[enc.new_of_old].astype(np.int32))
+        nslot = nc * G
+        soo = enc.slot_of_old  # grouped slots coincide with rows < nslot
+        out["pal_soo"].append(
+            np.where(soo < nslot, pal_of_shared[np.minimum(soo, nvp - 1)],
+                     nslot).astype(np.int32)
+        )
+
+        wb4 = (
+            None if enc.sw_wbase is None
+            else enc.sw_wbase.reshape(nc, G, F, nvp)
+        )
+        wbB = {s: np.zeros((nc, fb * gb, nvp), np.float32)
+               for s, fb, gb, _ in banks}
+        ltB = {s: np.zeros((nc, oa, k, fb * gb), np.float32)
+               for s, fb, gb, _ in banks}
+        for ci in range(nc):
+            real_s = real[ci][perm[ci]]  # [G, F], kernel var order
+            pos = np.cumsum(real_s, axis=1) - 1  # packed f position
+            gidx, fidx = np.nonzero(real_s)
+            for s, fb, gb, off in banks:
+                sel = (gidx >= off) & (gidx < off + gb)
+                rows = pos[gidx[sel], fidx[sel]] * gb + (gidx[sel] - off)
+                src_g = perm[ci][gidx[sel]]
+                if wb4 is not None:
+                    wbB[s][ci, rows] = wb4[ci, src_g, fidx[sel]][
+                        :, shared_of_pal
+                    ]
+                # [n_inc, OA, K] -> rows of [OA, K, Fb*Gb]
+                ltB[s][ci, :, :, rows] = lt[ci, src_g, fidx[sel]].astype(
+                    np.float32
                 )
+        for s, _, _, _ in banks:
+            out[f"pal_wb_{s}"].append(wbB[s])
+            out[f"pal_lt_{s}"].append(ltB[s])
+        km = enc.sw_kmask  # [NC, G, K]
+        out["pal_km"].append(
+            np.stack([km[ci][perm[ci]].T for ci in range(nc)]).astype(
+                np.float32
             )
         )
-        out["pal_km"].append(
-            np.ascontiguousarray(enc.sw_kmask.transpose(0, 2, 1)).astype(np.float32)
-        )
-    return {k: np.stack(v) for k, v in out.items()}
+    return {kk: np.stack(v) for kk, v in out.items()}
 
 
 def _vmem_estimate(caps, cb: int) -> int:
-    """Rough VMEM bytes for one grid cell (working buffers + inputs)."""
+    """Rough VMEM bytes for one grid cell (working buffers + inputs).
+
+    Uses the padded ``adj_cap * group_cap`` row count — an upper bound
+    on the packed banks, so eligibility/block choice stay conservative.
+    """
     nvp, nslot = caps.num_rows, caps.num_slots
     nc, gg, ff = caps.color_cap, caps.group_cap, caps.adj_cap
     k, oa = caps.max_card, caps.oa_cap
@@ -139,11 +259,15 @@ def _hash_uniform(counter, g, cb):
     return (x >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * _INV24
 
 
-def _make_kernel(nc, g, f, oa, k, nvp, nslot, cb, count: bool):
-    fg = f * g
+def _make_kernel(nc, g, oa, k, nvp, nslot, cb, banks, count: bool):
+    """banks: list of (fb, gb, g_offset) — heavy first, then light."""
 
-    def kernel(seed_ref, ns_ref, hp_ref, state_ref, wbase_ref, lt_ref, km_ref,
-               state_out_ref, counts_out_ref, wstate_ref, acc_ref):
+    def kernel(seed_ref, ns_ref, hp_ref, state_ref, *refs):
+        nb = len(banks)
+        wb_refs = refs[:nb]
+        lt_refs = refs[nb:2 * nb]
+        km_ref = refs[2 * nb]
+        state_out_ref, counts_out_ref, wstate_ref, acc_ref = refs[2 * nb + 1:]
         cell = (
             seed_ref[0, 0]
             + 65537 * pl.program_id(0)
@@ -157,25 +281,44 @@ def _make_kernel(nc, g, f, oa, k, nvp, nslot, cb, count: bool):
             hsel = (si >= hp_ref[0, 0]).astype(jnp.int32)
             for ci in range(nc):
                 st = wstate_ref[:, :]
-                base = jnp.dot(
-                    wbase_ref[0, ci].astype(jnp.bfloat16),
-                    st.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )  # [FG, CB], exact small ints
+                bases = [
+                    jnp.dot(
+                        wb_refs[bi][0, ci].astype(jnp.bfloat16),
+                        st.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )  # [Fb*Gb, CB], exact small ints
+                    for bi in range(nb)
+                ]
                 logits = []
                 masks = []
                 for kk in range(k):
-                    # select-chain lookup: base is a local mixed-radix
-                    # index, always in [0, OA), so the last row is the
-                    # default and needs no comparison — one select per
-                    # remaining row instead of a where+add per row
-                    accv = jnp.broadcast_to(
-                        lt_ref[0, ci, oa - 1, kk, :].reshape(fg, 1), (fg, cb)
+                    parts = []
+                    for bi, (fb, gb, _off) in enumerate(banks):
+                        # select-chain lookup: base is a local mixed-
+                        # radix index, always in [0, OA), so the last
+                        # row is the default and needs no comparison
+                        accv = jnp.broadcast_to(
+                            lt_refs[bi][0, ci, oa - 1, kk, :].reshape(
+                                fb * gb, 1
+                            ),
+                            (fb * gb, cb),
+                        )
+                        for o in range(oa - 1):
+                            ltc = lt_refs[bi][0, ci, o, kk, :].reshape(
+                                fb * gb, 1
+                            )
+                            accv = jnp.where(bases[bi] == float(o), ltc, accv)
+                        parts.append(
+                            accv.reshape(fb, gb, cb).sum(axis=0)  # [Gb, CB]
+                        )
+                    # assemble [G, CB] in kernel var order: heavy prefix,
+                    # light suffix, zero rows for uncovered spans
+                    covered = sum(gb for _, gb, _ in banks)
+                    if covered < g:
+                        parts.append(jnp.zeros((g - covered, cb), jnp.float32))
+                    lg = parts[0] if len(parts) == 1 else jnp.concatenate(
+                        parts, axis=0
                     )
-                    for o in range(oa - 1):
-                        ltc = lt_ref[0, ci, o, kk, :].reshape(fg, 1)
-                        accv = jnp.where(base == float(o), ltc, accv)
-                    lg = accv.reshape(f, g, cb).sum(axis=0)  # [G, CB]
                     mk = km_ref[0, ci, kk, :].reshape(g, 1)
                     masks.append(mk)
                     logits.append(jnp.where(mk > 0.0, lg, NEG))
@@ -223,33 +366,44 @@ def _make_kernel(nc, g, f, oa, k, nvp, nslot, cb, count: bool):
 
 
 def _pallas_window(pal, state_p, seed, num_sweeps, half_point, count: bool,
-                   nc, g, f, oa, k, nvp, nslot, cb):
+                   nc, g, oa, k, nvp, nslot, cb, banks):
     """Run one advance window for all variants: grid (N, C/CB)."""
     n, _, c = state_p.shape
     nb = c // cb
     smem = pl.BlockSpec((1, 1), lambda ni, bi: (0, 0), memory_space=pltpu.SMEM)
-    kernel = _make_kernel(nc, g, f, oa, k, nvp, nslot, cb, count)
+    kernel = _make_kernel(nc, g, oa, k, nvp, nslot, cb, banks, count)
     out_shapes = (
         jax.ShapeDtypeStruct((n, nvp, c), jnp.float32),
         jax.ShapeDtypeStruct((n, 2, k, nslot + 8, c), jnp.float32),
     )
     scalar = lambda x: jnp.asarray(x, jnp.int32).reshape(1, 1)
+    bank_keys = [s for s, in_use in (("h", "pal_wb_h" in pal),
+                                     ("l", "pal_wb_l" in pal)) if in_use]
+    wb_inputs = [pal[f"pal_wb_{s}"] for s in bank_keys]
+    lt_inputs = [pal[f"pal_lt_{s}"] for s in bank_keys]
+    in_specs = [smem, smem, smem,
+                pl.BlockSpec((1, nvp, cb), lambda ni, bi: (ni, 0, bi),
+                             memory_space=pltpu.VMEM)]
+    for wb in wb_inputs:
+        fbgb = wb.shape[2]
+        in_specs.append(
+            pl.BlockSpec((1, nc, fbgb, nvp), lambda ni, bi: (ni, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    for lt in lt_inputs:
+        fbgb = lt.shape[4]
+        in_specs.append(
+            pl.BlockSpec((1, nc, oa, k, fbgb), lambda ni, bi: (ni, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    in_specs.append(
+        pl.BlockSpec((1, nc, k, g), lambda ni, bi: (ni, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
     state_out, counts = pl.pallas_call(
         kernel,
         grid=(n, nb),
-        in_specs=[
-            smem,
-            smem,
-            smem,
-            pl.BlockSpec((1, nvp, cb), lambda ni, bi: (ni, 0, bi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, f * g, nvp), lambda ni, bi: (ni, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, oa, k, f * g), lambda ni, bi: (ni, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, k, g), lambda ni, bi: (ni, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, nvp, cb), lambda ni, bi: (ni, 0, bi),
                          memory_space=pltpu.VMEM),
@@ -274,47 +428,54 @@ def _pallas_window(pal, state_p, seed, num_sweeps, half_point, count: bool,
         scalar(num_sweeps),
         scalar(half_point),
         state_p,
-        pal["pal_wbase"],
-        pal["pal_lt"],
+        *wb_inputs,
+        *lt_inputs,
         pal["pal_km"],
     )
     return state_out, counts
 
 
-@partial(jax.jit, static_argnames=("count", "cb"), donate_argnums=(2, 3))
-def advance_chains_pallas(enc, pal, state, halves, key, num_sweeps, half_point,
-                          count: bool = True, cb: int = 1024):
+@partial(jax.jit, static_argnames=("count", "cb", "dims"),
+         donate_argnums=(1, 2))
+def advance_chains_pallas(pal, state, halves, key, num_sweeps, half_point,
+                          count: bool = True, cb: int = 1024,
+                          dims: Tuple[int, int, int, int] = ()):
     """Drop-in for ``gibbs_xla.advance_chains`` on eligible models.
 
-    enc/pal: stacked dicts (leading axis N); state [N, C, V+1] int32;
-    halves [N, 2, C, V+1, K] f32 (window counts are ADDED).  The layout
-    permutation and the slot->variable count mapping happen in XLA around
-    the kernel, once per window.
+    pal: stacked dict (leading axis N, see ``pallas_stack``); state
+    [N, C, V+1] int32; halves [N, 2, C, V+1, K] f32 (window counts are
+    ADDED); dims: the stack's ``pal_bank_dims``.  The kernel-order
+    permutation and the slot->variable count mapping happen in XLA
+    around the kernel, once per window.
     """
     n, c, _ = state.shape
     if c % cb != 0 or c < cb:
         raise ValueError(f"chain count {c} must be a positive multiple of block {cb}")
     nc, k, g = pal["pal_km"].shape[1:]
-    fg = pal["pal_wbase"].shape[2]
-    f = fg // g
-    oa = pal["pal_lt"].shape[2]
-    nvp = pal["pal_wbase"].shape[3]
+    nvp = pal["pal_oon"].shape[1]
     nslot = nc * g
+    g2, f2, g1, f1 = dims
+    banks = []
+    if "pal_wb_h" in pal:
+        banks.append((f2, g2, 0))
+    if "pal_wb_l" in pal:
+        banks.append((f1, g1, g2))
+    oa = (pal.get("pal_lt_h", pal.get("pal_lt_l"))).shape[2] if banks else 1
 
-    # permute into the color-contiguous device layout (see pgm/encode.py)
+    # permute into the kernel's packed device layout
     state_p = jax.vmap(
         lambda st, oon: jnp.take(st.T, oon, axis=0).astype(jnp.float32)
-    )(state, enc["old_of_new"])
+    )(state, pal["pal_oon"])
 
     seed = jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)
     state_p, counts = _pallas_window(
         pal, state_p, seed, num_sweeps, half_point, count,
-        nc, g, f, oa, k, nvp, nslot, cb,
+        nc, g, oa, k, nvp, nslot, cb, banks,
     )
 
     state_out = jax.vmap(
         lambda sp, noo: jnp.take(sp, noo, axis=0).astype(jnp.int32).T
-    )(state_p, enc["new_of_old"])
+    )(state_p, pal["pal_noo"])
 
     if count:
         # counts [N, 2, K, NSLOT+8, C]: slot -> old var (zero rows beyond
@@ -323,5 +484,5 @@ def advance_chains_pallas(enc, pal, state, halves, key, num_sweeps, half_point,
             mapped = jnp.take(cn, soo, axis=2)  # [2, K, V+1, C]
             return mapped.transpose(0, 3, 2, 1)  # [2, C, V+1, K]
 
-        halves = halves + jax.vmap(map_counts)(counts, enc["slot_of_old"])
+        halves = halves + jax.vmap(map_counts)(counts, pal["pal_soo"])
     return state_out, halves

@@ -109,6 +109,7 @@ def sharded_advance(
     pal=None,  # pallas-layout constants, leading axis N (use_pallas only)
     use_pallas: bool = False,
     cb: int = 0,
+    pal_dims=(),  # the pal stack's pal_bank_dims (use_pallas only)
 ):
     """One advance window over the mesh.
 
@@ -134,8 +135,8 @@ def sharded_advance(
                 lax.axis_index(CHAIN_AXIS),
             )
             state, halves = advance_chains_pallas(
-                stack, pal, state, halves, skey, num_sweeps, half_point,
-                count=count, cb=cb,
+                pal, state, halves, skey, num_sweeps, half_point,
+                count=count, cb=cb, dims=pal_dims,
             )
         else:
             keys = _global_fold(key, n_local)
@@ -304,6 +305,7 @@ class ShardedChainGroup(ChainGroup):
             self.mesh, self.state, self.halves, self.stack, self._next_key(),
             sweeps, half, count=count, pal=self.pal_stack,
             use_pallas=self.use_pallas, cb=self.pal_block,
+            pal_dims=self.pal_dims,
         )
 
     # -- sharded compute ----------------------------------------------------

@@ -31,7 +31,9 @@ import numpy as np
 
 from grample_tpu.metrics.psrf import chain_convergence
 from grample_tpu.ops.gibbs_pallas import (
+    PalDimsError,
     advance_chains_pallas,
+    pal_bank_dims,
     pallas_eligible,
     pallas_stack,
     pick_block,
@@ -200,6 +202,7 @@ class ChainGroup:
         self.use_pallas = auto if want is None else (want and auto)
         self.pal_block = block if self.use_pallas else 0
         self.pal_stack = None
+        self.pal_dims = None
 
     def _encode_grown(self, model: DiscreteModel) -> tuple:
         """encode_model with caps growth; returns (enc, grew).
@@ -280,9 +283,12 @@ class ChainGroup:
         stack_np = stack_variants(padded[: self.slot_cap])
         self.stack = {k: jnp.asarray(v) for k, v in stack_np.items()}
         if self.use_pallas:
+            self.pal_dims = pal_bank_dims(padded[: self.slot_cap])
             self.pal_stack = {
                 k: jnp.asarray(v)
-                for k, v in pallas_stack(padded[: self.slot_cap]).items()
+                for k, v in pallas_stack(
+                    padded[: self.slot_cap], self.pal_dims
+                ).items()
             }
 
         old = None if self.state is None else np.asarray(self.state)
@@ -332,11 +338,18 @@ class ChainGroup:
                 for k, v in arrays.items()
             }
             if self.use_pallas:
-                pal = pallas_stack([enc])
-                self.pal_stack = {
-                    k: self.pal_stack[k].at[slot].set(jnp.asarray(v[0]))
-                    for k, v in pal.items()
-                }
+                try:
+                    pal = pallas_stack([enc], self.pal_dims)
+                except PalDimsError:
+                    # the new variant's incidence profile outgrows the
+                    # stack's packed bank shapes: re-derive dims over
+                    # all variants and rebuild (encs already appended)
+                    self._restack()
+                else:
+                    self.pal_stack = {
+                        k: self.pal_stack[k].at[slot].set(jnp.asarray(v[0]))
+                        for k, v in pal.items()
+                    }
         # (re)initialize this slot's chains on the host
         st = self._host_init_state(enc, warm_marginals)
         self.state = self.state.at[slot].set(jnp.asarray(st))
@@ -355,8 +368,8 @@ class ChainGroup:
         if self.use_pallas:
             try:
                 return advance_chains_pallas(
-                    stack_c, pal_c, st, hv, ck, sweeps, half, count=count,
-                    cb=self.pal_block,
+                    pal_c, st, hv, ck, sweeps, half, count=count,
+                    cb=self.pal_block, dims=self.pal_dims,
                 )
             except Exception as e:
                 # The VMEM estimate is heuristic: if Mosaic rejects the
@@ -471,7 +484,7 @@ class ChainGroup:
                     }
                     if pal0 is not None:
                         self.pal_stack = {
-                            k: (v * beta if k == "pal_lt" else v)
+                            k: (v * beta if k.startswith("pal_lt") else v)
                             for k, v in pal0.items()
                         }
                 else:

@@ -68,24 +68,65 @@ def test_pallas_eligibility_gates():
     assert pick_block(caps) >= 128
 
 
-def test_pallas_stack_shapes():
+def test_pallas_stack_packing():
+    """Packed banks: permutation consistency + incidence preservation."""
     m = _grid()
     caps = compute_caps(m)
+    from grample_tpu.ops.gibbs_pallas import pal_bank_dims
     from grample_tpu.pgm.encode import encode_model
 
     enc = encode_model(m, caps)
-    pal = pallas_stack([enc])
-    nc, gg, ff = caps.color_cap, caps.group_cap, caps.adj_cap
-    assert pal["pal_wbase"].shape == (1, nc, ff * gg, caps.num_rows)
-    assert pal["pal_lt"].shape == (1, nc, caps.oa_cap, caps.max_card, ff * gg)
+    dims = pal_bank_dims([enc])
+    g2, f2, g1, f1 = dims
+    gg = caps.group_cap
+    assert g2 + g1 == gg and g2 % 8 == 0
+    pal = pallas_stack([enc], dims)
+    nc = caps.color_cap
     assert pal["pal_km"].shape == (1, nc, caps.max_card, gg)
-    # f-major row order: row f*G+g must equal sw_wbase row g*F+f
-    wb = enc.sw_wbase.reshape(nc, gg, ff, caps.num_rows)
-    for f in range(ff):
-        for g in range(0, gg, 3):
-            np.testing.assert_array_equal(
-                pal["pal_wbase"][0, :, f * gg + g], wb[:, g, f]
+    if g2:
+        assert pal["pal_wb_h"].shape == (1, nc, f2 * g2, caps.num_rows)
+        assert pal["pal_lt_h"].shape == (
+            1, nc, caps.oa_cap, caps.max_card, f2 * g2
+        )
+
+    # pal_oon / pal_noo are inverse on real vars
+    oon, noo = pal["pal_oon"][0], pal["pal_noo"][0]
+    for var in range(m.num_vars):
+        assert oon[noo[var]] == var
+
+    # every real incidence's table row survives packing, in the
+    # mapped var's bank rows, with wbase columns permuted consistently
+    lt = enc.sw_local_tables  # [NC, G, F, OA, K]
+    real = np.abs(lt).max(axis=(3, 4)) > 0
+    n_real = int(real.sum())
+    packed_rows = 0
+    for key in ("pal_lt_h", "pal_lt_l"):
+        if key in pal:
+            packed_rows += int(
+                (np.abs(pal[key][0]).max(axis=(1, 2)) > 0).sum()
             )
+    assert packed_rows == n_real
+
+    # spot-check one heavy var: its packed rows' tables match the
+    # original incidence tables (as multisets)
+    if g2:
+        for ci in range(nc):
+            var = int(oon[ci * gg])  # first (highest-degree) slot
+            if var >= m.num_vars:
+                continue
+            gold = int(enc.new_of_old[var]) - ci * gg
+            orig = sorted(
+                lt[ci, gold, f].ravel().tolist()
+                for f in range(caps.adj_cap)
+                if real[ci, gold, f]
+            )
+            got = sorted(
+                pal["pal_lt_h"][0, ci, :, :, f * g2].ravel().tolist()
+                for f in range(f2)
+                if np.abs(pal["pal_lt_h"][0, ci, :, :, f * g2]).max() > 0
+            )
+            # pal_lt rows are [OA, K]; originals are [F, OA, K] slices
+            assert got == orig, (ci, var)
 
 
 def test_pallas_marginals_vs_exact():
