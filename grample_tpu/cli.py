@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from --checkpoint if it exists (budgets continue)")
     s.add_argument("--mesh", default="off",
                    help="device mesh: off | auto | VxC (variants x chains), e.g. 2x4")
+    s.add_argument("--split-group", default="auto", choices=("auto", "on", "off"),
+                   help="adaptive split execution: Pallas plain slots + "
+                        "reduced-chain XLA collapse slots (see sampler/split.py)")
     s.add_argument("--distributed", action="store_true",
                    help="initialize jax.distributed for multi-host runs")
     s.add_argument("--reserve", type=int, default=0,
@@ -127,6 +130,7 @@ def cmd_sample(args) -> int:
         checkpoint_secs=args.checkpoint_secs,
         resume=args.resume,
         mesh=args.mesh,
+        split_group=args.split_group,
         distributed=args.distributed,
         reserve_slots=args.reserve,
     )

@@ -58,11 +58,35 @@ def _model_from_dict(d: dict) -> DiscreteModel:
     )
 
 
-def save_checkpoint(path: str, group: ChainGroup, cfg=None,
-                    runtime: float = 0.0) -> None:
-    """Atomic snapshot (tmp file + rename)."""
+def save_checkpoint(path: str, group, cfg=None, runtime: float = 0.0) -> None:
+    """Atomic snapshot (tmp file + rename).
+
+    A :class:`~grample_tpu.sampler.split.SplitChainGroup` saves its main
+    group at ``path`` (with a ``split`` meta marker) and its aux group at
+    ``path + ".aux"``.
+    """
+    from grample_tpu.sampler.split import SplitChainGroup
+
+    if isinstance(group, SplitChainGroup):
+        if group.aux is not None and group.aux.num_variants:
+            _save_one(path + ".aux", group.aux, None, 0.0)
+        split = {
+            "aux": bool(group.aux is not None and group.aux.num_variants),
+            "aux_cpv": group.aux_cpv,
+            "cpv": group.cpv,
+            "seed": group.seed,
+            "rb_mixture": group.rb_mixture,
+        }
+        _save_one(path, group.main, cfg, runtime, split=split)
+        return
+    _save_one(path, group, cfg, runtime)
+
+
+def _save_one(path: str, group: ChainGroup, cfg=None, runtime: float = 0.0,
+              split=None) -> None:
     group.flush()  # fold deferred window deltas into totals first
     meta = {
+        "split": split,
         "version": FORMAT_VERSION,
         "cpv": group.cpv,
         "cw": group.cw,
@@ -104,7 +128,7 @@ def save_checkpoint(path: str, group: ChainGroup, cfg=None,
 
 def load_checkpoint(
     path: str, base_model: DiscreteModel, make_group=None
-) -> Tuple[ChainGroup, dict]:
+):
     """Rebuild a chain group from a snapshot. Returns (group, meta).
 
     ``make_group(model, **kw)`` constructs the group — pass a factory
@@ -113,7 +137,38 @@ def load_checkpoint(
     ``--mesh`` config; r2 silently resumed single-device).  The factory
     must honor the snapshot's ``chains_per_variant``/``converge_window``/
     ``seed`` keywords — they define the tensor shapes being restored.
+
+    Split snapshots (see :func:`save_checkpoint`) reconstruct a
+    ``SplitChainGroup`` from ``path`` + ``path.aux``; the factory is
+    ignored for them (split execution is single-device by design).
     """
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["meta"]))
+    if meta.get("split"):
+        from grample_tpu.sampler.split import SplitChainGroup
+
+        sp = meta["split"]
+        main, _ = _load_one(path, base_model, None)
+        aux = (
+            _load_one(path + ".aux", base_model, None)[0] if sp["aux"] else None
+        )
+        group = SplitChainGroup(
+            base_model,
+            chains_per_variant=sp["cpv"],
+            converge_window=main.cw,
+            seed=sp["seed"],
+            rb_mixture=sp.get("rb_mixture", True),
+            aux_chains=sp["aux_cpv"],
+            _main=main,
+            _aux=aux,
+        )
+        return group, meta
+    return _load_one(path, base_model, make_group)
+
+
+def _load_one(
+    path: str, base_model: DiscreteModel, make_group=None
+) -> Tuple[ChainGroup, dict]:
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["meta"]))
     if meta["version"] != FORMAT_VERSION:

@@ -68,6 +68,12 @@ class EngineConfig:
     # growth re-stacks device arrays and recompiles the sweep per
     # power-of-two step, which on TPU costs seconds-to-minutes each.
     reserve_slots: int = 0
+    # split execution for adaptive runs: "auto" = use a SplitChainGroup
+    # (fast Pallas plain slots + reduced-chain XLA collapse slots) when
+    # the plain caps are Pallas-eligible but the collapse-headroom caps
+    # are not (Promedus-class nets); "on"/"off" force it.  See
+    # sampler/split.py.  Ignored under a device mesh.
+    split_group: str = "auto"
     # device mesh: "off" = single-device ChainGroup; "auto" = shard over
     # all visible devices when more than one; "VxC" (e.g. "2x4") = explicit
     # (variants, chains) mesh shape
@@ -498,6 +504,11 @@ class Engine:
                 cfg.mesh != "auto" or len(jax.devices()) > 1
             )
             if not use_mesh:
+                if cfg.sampler == "adaptive" and self._want_split(cfg, model):
+                    from grample_tpu.sampler.split import SplitChainGroup
+
+                    self.log("split group: Pallas plain slots + XLA collapse slots")
+                    return SplitChainGroup(model, **kw)
                 return ChainGroup(model, **kw)
 
             from grample_tpu.parallel.mesh import ShardedChainGroup, chain_mesh
@@ -513,6 +524,24 @@ class Engine:
             return ShardedChainGroup(model, mesh=mesh, **kw)
 
         return make
+
+    @staticmethod
+    def _want_split(cfg: EngineConfig, model) -> bool:
+        """Split execution pays when the plain caps can run the Pallas
+        kernel but the collapse-headroom caps cannot (see split.py)."""
+        if cfg.split_group == "off":
+            return False
+        if cfg.split_group == "on":
+            return True
+        from grample_tpu.ops.gibbs_pallas import pallas_eligible
+        from grample_tpu.pgm.encode import compute_caps
+
+        plain = compute_caps(model, headroom_factors=0)
+        head = compute_caps(
+            model, collapse_headroom=True, slot_hint=cfg.max_variants,
+            headroom_factors=2,
+        )
+        return pallas_eligible(plain) and not pallas_eligible(head)
 
     def save_checkpoint(self, group: ChainGroup, runtime: float = 0.0):
         from grample_tpu.sampler.checkpoint import save_checkpoint

@@ -1,0 +1,214 @@
+"""Split chain group: fast plain slots + slow collapse slots.
+
+On Promedus-class nets the collapse-headroom capacities are not
+Pallas-eligible (the blanket-12 replacement factors need the gather
+bank and the per-slot Wbase blows the HBM budget, forcing the rowgather
+XLA sweep), so a single adaptive :class:`~grample_tpu.sampler.chains.
+ChainGroup` pays the slow path for EVERY chain — measured 3 orders of
+magnitude below the plain-caps Pallas kernel, with burn-in alone eating
+a 120 s budget (r3: Promedus_19 engine at 5e5 samples/s, zero adapt
+steps).
+
+This wrapper keeps the reference semantics (``MergeChains``,
+``sampler/chain.go:96-148``: counts sum over all chains; a variable
+collapsed in any chain uses that chain's exact marginal outright) while
+splitting the *execution*:
+
+  - ``main``: plain-caps group (Pallas-eligible) holding the starting
+    simple chains at full ``chains_per_variant`` — the bulk of the
+    sampling throughput and of the merged count estimates.
+  - ``aux``: collapse-headroom group (XLA sweep) holding every
+    adaptively collapsed variant at a reduced chain count
+    (``AUX_CHAINS``) — it only needs enough mixing to feed the
+    Rao-Blackwell conditional snapshots and its exact marginals.
+
+The aux group advances ONE counted window per :meth:`flush` (the
+engine's scoring tick) instead of per main window: its chains stay
+decorrelated between RB snapshots without letting the slow path
+dominate the tick budget.
+
+The reference has no analogue — all its chains cost the same
+(goroutines over identical scalar code, ``sampler/chain.go:197-215``);
+this split exists because on TPU the two factor-graph shapes compile to
+engines with a ~1000x speed gap.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from grample_tpu.pgm.discrete import DiscreteModel
+from grample_tpu.sampler.chains import MAX_VARIANTS, ChainGroup
+
+#: micro-chains per collapse variant in the aux group
+AUX_CHAINS = 256
+
+
+class SplitChainGroup:
+    """Duck-typed ChainGroup: plain slots on the fast path, collapse
+    slots on the slow one.  See module doc."""
+
+    def __init__(
+        self,
+        base_model: DiscreteModel,
+        chains_per_variant: int,
+        converge_window: int,
+        seed: int = 0,
+        max_variants: int = MAX_VARIANTS,
+        rb_mixture: bool = True,
+        aux_chains: int = AUX_CHAINS,
+        collapse_headroom: bool = True,  # accepted for factory parity
+        _main: Optional[ChainGroup] = None,
+        _aux: Optional[ChainGroup] = None,
+    ):
+        self.base = base_model
+        self.cpv = int(chains_per_variant)
+        self.cw = int(converge_window)
+        self.seed = int(seed)
+        self.max_variants = max_variants
+        self.rb_mixture = bool(rb_mixture)
+        self.aux_cpv = min(int(aux_chains), self.cpv)
+        self.main = _main or ChainGroup(
+            base_model,
+            chains_per_variant=chains_per_variant,
+            converge_window=converge_window,
+            seed=seed,
+            collapse_headroom=False,
+            rb_mixture=rb_mixture,
+        )
+        self.aux: Optional[ChainGroup] = _aux
+
+    # ---- aggregate views -------------------------------------------------
+    @property
+    def variants(self) -> List[DiscreteModel]:
+        return self.main.variants + (self.aux.variants if self.aux else [])
+
+    @property
+    def num_variants(self) -> int:
+        return self.main.num_variants + (self.aux.num_variants if self.aux else 0)
+
+    @property
+    def num_chains(self) -> int:
+        return self.main.num_chains + (self.aux.num_chains if self.aux else 0)
+
+    @property
+    def total_samples(self) -> int:
+        return self.main.total_samples + (self.aux.total_samples if self.aux else 0)
+
+    @property
+    def total_sweeps(self) -> int:
+        return self.main.total_sweeps + (self.aux.total_sweeps if self.aux else 0)
+
+    @property
+    def slot_cap(self) -> int:
+        return self.main.slot_cap + (self.aux.slot_cap if self.aux else 0)
+
+    # ---- capacity / lifecycle -------------------------------------------
+    def _ensure_aux(self) -> ChainGroup:
+        if self.aux is None:
+            self.aux = ChainGroup(
+                self.base,
+                chains_per_variant=self.aux_cpv,
+                converge_window=self.cw,
+                seed=self.seed + 104729,
+                collapse_headroom=True,
+                max_variants=self.max_variants,
+                rb_mixture=self.rb_mixture,
+            )
+        return self.aux
+
+    def reserve(self, n_slots: int):
+        # plain starting slots live in main; collapse slots grow lazily
+        self.main.reserve(min(n_slots, max(1, self.main.num_variants or n_slots)))
+
+    def add_variant(self, model: DiscreteModel, burn_sweeps: int = 0,
+                    warm_marginals=None) -> int:
+        if self.num_variants >= self.max_variants:
+            raise RuntimeError(f"variant limit {self.max_variants} reached")
+        v = self.base.num_vars
+        newly_collapsed = bool(
+            (model.collapsed[:v] & ~self.base.collapsed[:v]).any()
+        )
+        if newly_collapsed:
+            aux = self._ensure_aux()
+            first = aux.num_variants == 0
+            slot = aux.add_variant(model, burn_sweeps=burn_sweeps,
+                                   warm_marginals=warm_marginals)
+            if first:
+                aux.warmup()  # compile the slow path off the first tick
+            return self.main.num_variants + slot
+        return self.main.add_variant(model, burn_sweeps=burn_sweeps,
+                                     warm_marginals=warm_marginals)
+
+    def warmup(self):
+        self.main.warmup()
+        if self.aux is not None and self.aux.slot_cap:
+            self.aux.warmup()
+
+    # ---- advancing -------------------------------------------------------
+    def burn(self, sweeps: int):
+        self.main.burn(sweeps)
+        if self.aux is not None:
+            self.aux.burn(sweeps)
+
+    def burn_annealed(self, sweeps: int, stages: int = 0):
+        from grample_tpu.sampler.chains import ANNEAL_STAGES
+
+        stages = stages or ANNEAL_STAGES
+        self.main.burn_annealed(sweeps, stages)
+        if self.aux is not None:
+            self.aux.burn_annealed(sweeps, stages)
+
+    def advance(self, sweeps: Optional[int] = None, defer: bool = False) -> int:
+        """Advance main; aux advances once per flush (see module doc)."""
+        taken = self.main.advance(sweeps, defer=defer)
+        if not defer:
+            taken += self._advance_aux()
+        return taken
+
+    def _advance_aux(self) -> int:
+        if self.aux is None or self.aux.num_variants == 0:
+            return 0
+        return self.aux.advance(self.cw, defer=False)
+
+    def flush(self) -> None:
+        self.main.flush()
+        self._advance_aux()
+
+    def rb_accumulate(self) -> None:
+        if self.aux is not None:
+            self.aux.rb_accumulate()
+
+    # ---- estimation ------------------------------------------------------
+    def collapsed_any(self) -> np.ndarray:
+        out = self.main.collapsed_any()
+        if self.aux is not None:
+            out = out | self.aux.collapsed_any()
+        return out
+
+    def merged_marginals(self) -> np.ndarray:
+        merged = self.main.merged_marginals()
+        if self.aux is None or self.aux.num_variants == 0:
+            return merged
+        aux_m = self.aux.merged_marginals()
+        out = merged + aux_m
+        # any-collapsed wins outright (reference MergeChains): the aux
+        # group already resolved first-collapsing-variant order and RB
+        # mixture overrides within aux_m's rows
+        v = self.base.num_vars
+        override = self.aux.collapsed_any() & ~self.base.collapsed[:v]
+        out[override] = aux_m[override]
+        return out
+
+    def convergence(self, measure: str = "hellinger", merged=None) -> np.ndarray:
+        """PSRF from the main group's chains (the statistical bulk);
+        vars collapsed in any aux variant score 1.0 (reference
+        ``ChainConvergence``, ``sampler/chain.go:86-89``)."""
+        if merged is None:
+            merged = self.merged_marginals()
+        vals = self.main.convergence(measure=measure, merged=merged)
+        if self.aux is not None:
+            vals = np.where(self.aux.collapsed_any(), 1.0, vals)
+        return vals
