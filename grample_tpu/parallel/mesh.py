@@ -94,7 +94,7 @@ HALVES_SPEC = P(VARIANT_AXIS, None, CHAIN_AXIS, None, None)  # [N, 2, C, V+1, K]
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "count", "use_pallas", "cb"),
+    static_argnames=("mesh", "count", "use_pallas", "cb", "pal_dims"),
     donate_argnums=(1, 2),
 )
 def sharded_advance(
