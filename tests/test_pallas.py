@@ -41,12 +41,12 @@ def _grid(side=3, seed=7, card=2):
 
 
 def _pallas_group(m, chains=128, cw=64, seed=5):
-    g = ChainGroup(m, chains_per_variant=chains, converge_window=cw, seed=seed)
-    # eligibility requires a TPU backend; force the interpret path
-    g.use_pallas = True
-    g.pal_block = 128
+    # eligibility requires a TPU backend; use_pallas=True forces the
+    # interpret path (and survives caps growth, unlike a post-hoc flag)
+    g = ChainGroup(m, chains_per_variant=chains, converge_window=cw, seed=seed,
+                   use_pallas=True)
     g.add_variant(m)
-    assert g.pal_stack is not None
+    assert g.use_pallas and g.pal_stack is not None
     return g
 
 
@@ -155,6 +155,29 @@ def test_pallas_determinism_and_counts():
         runs.append((np.asarray(g.state), np.asarray(g.halves)))
     np.testing.assert_array_equal(runs[0][0], runs[1][0])
     np.testing.assert_array_equal(runs[0][1], runs[1][1])
+
+
+def test_pallas_collapse_variant_grows_banks():
+    """A collapse variant with a fatter incidence profile must either fit
+    the stack's packed bank dims or trigger a pal restack with re-derived
+    dims — never a crash or a wrong-size kernel."""
+    from grample_tpu.pgm.exact import exact_marginals
+    from grample_tpu.sampler.collapse import collapse_var
+
+    m = _grid(side=3)
+    g = _pallas_group(m, chains=128, cw=32)
+    dims0 = g.pal_dims
+    variant, _ = collapse_var(m, 4)  # center var: blanket of 4
+    g.add_variant(variant, burn_sweeps=2)
+    assert g.pal_stack is not None and g.use_pallas
+    g.burn(10)
+    for _ in range(4):
+        g.advance(40)
+    est = g.merged_marginals()
+    est = est / est.sum(axis=1, keepdims=True)
+    truth = exact_marginals(m)
+    h = hellinger(est, truth, m.cards)
+    assert h.max() < 0.06, (h, dims0, g.pal_dims)
 
 
 def test_pallas_evidence_pinned():
