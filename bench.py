@@ -125,9 +125,12 @@ def phase_engine(net: str) -> dict:
 
     path = os.path.join(RES, net + ".uai")
     model = load_model(path, use_evidence=os.path.exists(path + ".evid"))
-    # micro-chains per slot sized by model width so the reserved stack's
-    # window tensors (128 slots × 2 × C × (V+1) × K f32) stay inside HBM
-    vchains = 8192 if model.num_vars <= 256 else 1024
+    # 8192 micro-chains per slot: on nets whose collapse caps are not
+    # Pallas-eligible the engine auto-splits (sampler/split.py), so the
+    # full-width plain slots run the fast kernel while collapse slots
+    # stay at 256 chains — HBM is no longer bounded by 128 full-width
+    # reserved slots (r2's reason to shrink vchains on wide nets)
+    vchains = 8192
     cfg = EngineConfig(
         model_path=path,
         use_evidence=os.path.exists(path + ".evid"),
