@@ -120,8 +120,12 @@ class SplitChainGroup:
         return self.aux
 
     def reserve(self, n_slots: int):
-        # plain starting slots live in main; collapse slots grow lazily
-        self.main.reserve(min(n_slots, max(1, self.main.num_variants or n_slots)))
+        # Collapse slots live in aux and grow lazily there; main only
+        # ever holds the starting plain chains, so a large engine
+        # --reserve (meant for collapse variants) must not pre-size
+        # full-width plain slots.  8 covers every reference start config
+        # (chains default 2, experiment-rnd uses 8).
+        self.main.reserve(min(n_slots, 8))
 
     def add_variant(self, model: DiscreteModel, burn_sweeps: int = 0,
                     warm_marginals=None) -> int:
