@@ -108,13 +108,29 @@ class SplitChainGroup:
     # ---- capacity / lifecycle -------------------------------------------
     def _ensure_aux(self) -> ChainGroup:
         if self.aux is None:
+            from grample_tpu.pgm.encode import compute_caps
+
+            # Small slot hint keeps the aux caps on the dense matmul
+            # base mode: the WBASE budget check assumes slot_hint
+            # full-width slots, and at 128 it tips Promedus-class nets
+            # into the rowgather tier — the one sweep path that had
+            # never run on real TPU (and the only adaptive configuration
+            # observed to hard-crash the worker there, r3 acceptance:
+            # Promedus/Pedigree adaptive died, Segmentation's
+            # matmul+gather aux ran clean).  64 variant slots at
+            # Promedus_19 width cost ~4.3 GB of Wbase — fine on a 16 GB
+            # chip and far beyond what a 300 s adaptive run reaches.
+            caps = compute_caps(
+                self.base, collapse_headroom=True, slot_hint=8,
+                headroom_factors=2,
+            )
             self.aux = ChainGroup(
                 self.base,
                 chains_per_variant=self.aux_cpv,
                 converge_window=self.cw,
                 seed=self.seed + 104729,
-                collapse_headroom=True,
-                max_variants=self.max_variants,
+                caps=caps,
+                max_variants=min(self.max_variants, 64),
                 rb_mixture=self.rb_mixture,
             )
         return self.aux
