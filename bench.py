@@ -147,9 +147,10 @@ def phase_engine(net: str) -> dict:
         max_secs=SECS,
         seed=1,
         burnin=2000 * model.num_vars,
-        # windows sized for the TPU: the full reference cwin (2000 sweeps)
-        # per loop tick would out-sample the budget per tick
-        converge_window=64 * model.num_vars,
+        # converge_window 0 -> cwin = burnin (2000 sweeps), the reference
+        # experiment shape; since the deferred-window batching, big
+        # counted windows amortize per-tick host work instead of
+        # out-sampling the budget (r2's reason to shrink them)
     )
     res = Engine(cfg, log=lambda s: None).run()
     out = {
