@@ -16,16 +16,24 @@ by an assumption" is not a benchmark):
    exact ``.MAR`` and the merlin solver's ``.merlin.MAR``.
 
 ``vs_baseline`` = measured TPU samples/s ÷ measured anchor samples/s on
-the same model.  Output: ONE JSON line.
+the same model.  Output: ONE JSON line, ALWAYS — partial results are
+results (VERDICT r3 #2: an rc-124 bench voids a whole round's numbers).
+
+**Wall budget.**  The driver kills bench.py at a fixed timeout, so the
+whole run is governed by ``BENCH_WALL`` (seconds, default 1300): phases
+run in priority order (headline throughput ratio first, engine quality
+legs after), each phase's subprocess timeout is clamped to the time
+remaining, engine budgets auto-shrink to fit, and anything that doesn't
+fit is skipped with a note rather than blowing the deadline.
 
 Each TPU leg runs in its OWN subprocess: the tunneled TPU worker has
 been observed to crash after long multi-phase sessions, and a fresh
 process per phase both isolates that and gives each phase a clean HBM.
-Failed phases retry once and degrade to a partial result, never a dead
-benchmark.
+A wedged worker (hang, not crash) is caught by the subprocess timeout.
 
-Env knobs: BENCH_CHAINS (262144), BENCH_SECS (300 per engine run),
-BENCH_NETS, GRAMPLE_RES.
+Env knobs: BENCH_WALL (1300), BENCH_CHAINS (262144), BENCH_SECS (300
+target per engine run, auto-shrunk to fit the wall), BENCH_NETS,
+GRAMPLE_RES.
 """
 
 from __future__ import annotations
@@ -41,15 +49,21 @@ import numpy as np
 RES = os.environ.get("GRAMPLE_RES", "/root/reference/res")
 CHAINS = int(os.environ.get("BENCH_CHAINS", "262144"))
 SECS = float(os.environ.get("BENCH_SECS", "300"))  # reference experiment budget
+WALL = float(os.environ.get("BENCH_WALL", "1300"))
 NETS = os.environ.get("BENCH_NETS", "Grids_13,Promedus_19").split(",")
 ANCHOR_SAMPLES = int(os.environ.get("BENCH_ANCHOR_SAMPLES", "40000000"))
 MARKER = "BENCH-PHASE-RESULT:"
+
+#: rough non-budget overhead of an engine leg (model load + compiles +
+#: burn-in dispatch + final scoring) on the tunneled chip, used to size
+#: subprocess timeouts and auto-shrunk budgets
+ENGINE_OVERHEAD = 240.0
 
 
 # --------------------------------------------------------------------------
 # phases (each runs in a fresh subprocess; prints one MARKER line)
 
-def phase_anchor(net: str) -> dict:
+def phase_anchor(net: str, _secs: float) -> dict:
     """Single-core C++ reference-mirror: rate + long-run accuracy."""
     from grample_tpu.metrics import error_suite
     from grample_tpu.metrics.divergences import pad_marginals
@@ -61,7 +75,7 @@ def phase_anchor(net: str) -> dict:
     out = anchor_gibbs(model, ANCHOR_SAMPLES, seed=5)
     if out is None:
         return {}
-    counts, _secs, rate = out
+    counts, _secs_used, rate = out
     res = {"anchor_samples_per_sec": round(rate, 1)}
     mar = path + ".MAR"
     if os.path.exists(mar):
@@ -76,7 +90,7 @@ def phase_anchor(net: str) -> dict:
     return res
 
 
-def phase_throughput(net: str) -> dict:
+def phase_throughput(net: str, _secs: float) -> dict:
     """Aggregate site-samples/s of the device sweep at BENCH_CHAINS."""
     import jax
 
@@ -118,7 +132,7 @@ def phase_throughput(net: str) -> dict:
     }
 
 
-def phase_engine(net: str) -> dict:
+def phase_engine(net: str, secs: float) -> dict:
     """Adaptive engine run at a real budget; scores vs .MAR and merlin."""
     from grample_tpu.sampler.engine import Engine, EngineConfig
     from grample_tpu.uai import load_model
@@ -144,7 +158,7 @@ def phase_engine(net: str) -> dict:
         # restack uploads GBs of (identical) encodings + state over the
         # TPU tunnel before the run starts.  Lazy pow2 growth uploads
         # only what the adapt loop actually activates.
-        max_secs=SECS,
+        max_secs=secs,
         seed=1,
         burnin=2000 * model.num_vars,
         # converge_window 0 -> cwin = burnin (2000 sweeps), the reference
@@ -155,6 +169,7 @@ def phase_engine(net: str) -> dict:
     res = Engine(cfg, log=lambda s: None).run()
     out = {
         "engine_samples_per_sec": round(res.samples_per_sec, 1),
+        "engine_budget_secs": secs,
         "samples": res.samples,
         "chains": res.chains,
         "collapsed_vars": len(res.collapsed),
@@ -177,12 +192,15 @@ PHASES = {
 }
 
 
-def run_phase_subprocess(phase: str, net: str, timeout: float) -> dict:
-    """Run one phase in a fresh process (clean TPU worker); retry once."""
-    for attempt in (1, 2):
+def run_phase_subprocess(phase: str, net: str, timeout: float,
+                         secs: float = 0.0, retries: int = 1) -> dict:
+    """Run one phase in a fresh process (clean TPU worker)."""
+    last = "not run"
+    for attempt in range(retries + 1):
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), phase, net],
+                [sys.executable, os.path.abspath(__file__), phase, net,
+                 str(secs)],
                 capture_output=True,
                 text=True,
                 timeout=timeout,
@@ -194,52 +212,80 @@ def run_phase_subprocess(phase: str, net: str, timeout: float) -> dict:
             err = (proc.stderr or "").strip().splitlines()
             last = err[-1][:200] if err else f"exit {proc.returncode}"
         except subprocess.TimeoutExpired:
-            last = f"timeout after {timeout}s"
-        if attempt == 2:
-            return {"error": f"{phase} failed: {last}"}
-    return {}
+            last = f"timeout after {timeout:.0f}s"
+    return {"error": f"{phase} failed: {last}"}
 
 
 def main() -> int:
-    if len(sys.argv) == 3 and sys.argv[1] in PHASES:
-        print(MARKER + json.dumps(PHASES[sys.argv[1]](sys.argv[2])))
+    if len(sys.argv) >= 3 and sys.argv[1] in PHASES:
+        secs = float(sys.argv[3]) if len(sys.argv) > 3 else SECS
+        print(MARKER + json.dumps(PHASES[sys.argv[1]](sys.argv[2], secs)))
         return 0
 
     t0 = time.time()
-    detail = {}
+    deadline = t0 + WALL
+
+    def remaining() -> float:
+        return deadline - time.time()
+
+    nets = [n for n in NETS if os.path.exists(os.path.join(RES, n + ".uai"))]
+    detail = {n: {} for n in nets}
+    skipped = []
+
+    # ---- priority 1: the headline ratio (anchor + throughput per net) ----
+    for name in nets:
+        if remaining() < 60:
+            skipped.append(f"anchor/throughput:{name}")
+            continue
+        detail[name].update(run_phase_subprocess(
+            "anchor", name, min(300, remaining()), retries=0))
+        budget = min(420, remaining())
+        if budget < 60:
+            skipped.append(f"throughput:{name}")
+            continue
+        detail[name].update(run_phase_subprocess(
+            "throughput", name, budget,
+            retries=1 if remaining() > 900 else 0))
+
+    # ---- priority 2: engine quality legs, budgets shrunk to fit ----------
+    for i, name in enumerate(nets):
+        legs_left = len(nets) - i
+        share = remaining() / legs_left - ENGINE_OVERHEAD
+        secs = min(SECS, share)
+        if secs < 30:
+            skipped.append(f"engine:{name}")
+            continue
+        detail[name].update(run_phase_subprocess(
+            "engine", name, secs + ENGINE_OVERHEAD + 120, secs=secs,
+            retries=0))
+
     headline_rate = None
     headline_anchor = None
-    for name in NETS:
-        if not os.path.exists(os.path.join(RES, name + ".uai")):
-            continue
-        d = {}
-        d.update(run_phase_subprocess("anchor", name, 600))
-        d.update(run_phase_subprocess("throughput", name, 1200))
-        d.update(run_phase_subprocess("engine", name, SECS + 900))
+    for name in nets:
+        d = detail[name]
         if d.get("anchor_samples_per_sec") and d.get("tpu_samples_per_sec"):
             d["speedup_vs_anchor"] = round(
                 d["tpu_samples_per_sec"] / d["anchor_samples_per_sec"], 1
             )
-        detail[name] = d
         if headline_rate is None and d.get("tpu_samples_per_sec"):
             headline_rate = d["tpu_samples_per_sec"]
             headline_anchor = d.get("anchor_samples_per_sec")
 
-    print(
-        json.dumps(
-            {
-                "metric": f"gibbs_site_samples_per_sec ({NETS[0]}, {CHAINS} chains)",
-                "value": headline_rate,
-                "unit": "samples/s/chip",
-                "vs_baseline": round(headline_rate / headline_anchor, 1)
-                if headline_rate and headline_anchor
-                else None,
-                "baseline": "measured single-core C++ reference-mirror (samples/s)",
-                "detail": detail,
-                "wall_s": round(time.time() - t0, 1),
-            }
-        )
-    )
+    out = {
+        "metric": f"gibbs_site_samples_per_sec ({nets[0] if nets else '-'}, {CHAINS} chains)",
+        "value": headline_rate,
+        "unit": "samples/s/chip",
+        "vs_baseline": round(headline_rate / headline_anchor, 1)
+        if headline_rate and headline_anchor
+        else None,
+        "baseline": "measured single-core C++ reference-mirror (samples/s)",
+        "detail": detail,
+        "wall_s": round(time.time() - t0, 1),
+        "wall_budget_s": WALL,
+    }
+    if skipped:
+        out["skipped"] = skipped
+    print(json.dumps(out))
     return 0
 
 

@@ -220,7 +220,11 @@ def pallas_eligible(caps, platform: Optional[str] = None) -> bool:
         platform == "tpu"
         and caps.sweep_mode == "matmul"
         and caps.gfac_cap == 0
-        and caps.oa_cap <= 256  # bf16-exact base indices
+        # the kernel's table lookup is a select-chain unrolled over OA
+        # (O(OA) VPU passes per row): economical for the plain-caps
+        # domain (OA <= 32) but dominated by the XLA one-hot MXU path
+        # for dense-256 collapse caps — those route to the XLA sweep
+        and caps.oa_cap <= 32
         and caps.max_card <= 16
         and caps.group_cap % 8 == 0
         and _vmem_estimate(caps, pick_block(caps)) <= VMEM_BUDGET

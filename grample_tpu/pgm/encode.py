@@ -84,15 +84,28 @@ import numpy as np
 from grample_tpu.pgm.coloring import color_graph, color_groups, verify_coloring
 from grample_tpu.pgm.discrete import LOG_EPS, MAX_TABLE_SIZE, DiscreteModel, table_strides
 
-#: Largest local-table row count the dense (MXU one-hot) path materializes.
-#: Nearly every base factor in the reference suite fits (SURVEY.md §6);
-#: bigger local tables (most collapse replacements, dv-rel's 1024-entry
-#: tables) go to the gather bank instead of inflating the padded
-#: [*, OA, K] tensors — one outsized incidence would otherwise multiply
-#: across every (var, factor) slot of every stacked variant.  <= 256 also
-#: keeps base indices bf16-exact, which the MXU base matmul and the
-#: Pallas kernel rely on for full-rate matmuls.
+#: Largest local-table row count the dense (MXU one-hot) path materializes
+#: for PLAIN encodings.  Nearly every base factor in the reference suite
+#: fits (SURVEY.md §6); bigger local tables (dv-rel's 1024-entry tables)
+#: go to the gather bank instead of inflating the padded [*, OA, K]
+#: tensors — one outsized incidence would otherwise multiply across every
+#: (var, factor) slot of every stacked variant.  <= 256 also keeps base
+#: indices bf16-exact, which the MXU base matmul and the Pallas kernel
+#: rely on for full-rate matmuls.
 OA_DENSE_CAP = 32
+
+#: Dense classification cap for COLLAPSE-HEADROOM encodings.  Collapse
+#: replacement factors (blanket cliques) routinely exceed 32 local rows
+#: (binary blanket 9 -> OA 128); classifying them into the gather bank
+#: was both catastrophically slow (r3: the adaptive aux path ran 3
+#: orders of magnitude under the dense sweep) and the trigger of the r3
+#: TPU-worker crash (the counted XLA sweep with >= 2 stacked variants
+#: holding live gather-bank rows hard-crashed the worker on
+#: Promedus/Pedigree; the dense one-hot path at identical caps runs
+#: clean — measured r4).  Keeping collapse variants dense up to OA 256
+#: kills both: the adaptive candidate guard (``is_collapsible`` with
+#: ``oa_cap``) excludes variants that would need gather rows.
+COLLAPSE_OA_DENSE_CAP = 256
 
 #: Total ``sw_wbase`` bytes across all stacked variant slots before the
 #: sweep falls back from the MXU matmul base path to int32 row-gathers.
@@ -123,6 +136,10 @@ class EncodeCaps:
     tail_cap: int = 8  # ungrouped (evidence/collapsed) var rows
     slot_hint: int = 1  # expected stacked variants (sizes the wbase budget)
     base_mode: str = "matmul"  # dense/matmul banks, or all-gather-bank
+    #: dense-classification threshold (local rows) used for every
+    #: incidence encoded against these caps; 256 for collapse-headroom
+    #: caps, 32 otherwise (see COLLAPSE_OA_DENSE_CAP)
+    oa_dense_cap: int = 32
 
     @property
     def num_rows(self) -> int:
@@ -162,6 +179,7 @@ class EncodeCaps:
             and self.tail_cap >= other.tail_cap
             and self.slot_hint >= other.slot_hint
             and self.base_mode == other.base_mode
+            and self.oa_dense_cap == other.oa_dense_cap
         )
 
 
@@ -250,10 +268,12 @@ class EncodedModel:
         )
 
 
-def _classify_local(table_size: int, card: int, dense_ok: bool = True) -> tuple:
+def _classify_local(
+    table_size: int, card: int, dense_ok: bool = True, cap: int = OA_DENSE_CAP
+) -> tuple:
     """(is_dense, oa_rows) for one (var, factor) incidence."""
     rows = int(table_size) // int(card)
-    return dense_ok and rows <= OA_DENSE_CAP, rows
+    return dense_ok and rows <= cap, rows
 
 
 def compute_caps(
@@ -263,6 +283,7 @@ def compute_caps(
     group_cap: int = 0,
     collapse_headroom: bool = False,
     slot_hint: int = 1,
+    oa_dense_cap: int = 0,
 ) -> EncodeCaps:
     """Measure a model and pick capacities.
 
@@ -273,6 +294,12 @@ def compute_caps(
     variant ever outgrows them, so eager headroom is an optimization for
     adaptive/collapsed runs, never a requirement (ADVICE.md r1, medium).
 
+    ``oa_dense_cap`` (0 = default) sets the dense-classification
+    threshold: ``COLLAPSE_OA_DENSE_CAP`` for collapse-headroom caps so
+    replacement factors stay on the dense one-hot path (the gather bank
+    crashed the TPU worker under stacked collapse variants, r3/r4),
+    ``OA_DENSE_CAP`` otherwise.
+
     Three tiers: the first pass assumes the dense (matmul/one-hot) bank;
     if the per-slot Wbase constants would blow the HBM budget (Wbase
     times ``slot_hint``), keep the dense bank but drop Wbase — base
@@ -281,9 +308,11 @@ def compute_caps(
     pass reclassify every incidence into the flat-table gather bank
     (``"gather"``) — no local tables, no Wbase, no one-hot.
     """
+    if oa_dense_cap <= 0:
+        oa_dense_cap = COLLAPSE_OA_DENSE_CAP if collapse_headroom else OA_DENSE_CAP
     caps = _compute_caps_once(
         m, headroom_factors, headroom_table, group_cap, collapse_headroom,
-        slot_hint, dense_ok=True,
+        slot_hint, dense_ok=True, oa_dense_cap=oa_dense_cap,
     )
     slots = max(slot_hint, 1)
     wbase = caps.color_cap * caps.group_cap * caps.adj_cap * caps.num_rows * 4
@@ -298,6 +327,7 @@ def compute_caps(
             caps = _compute_caps_once(
                 m, headroom_factors, headroom_table, group_cap,
                 collapse_headroom, slot_hint, dense_ok=False,
+                oa_dense_cap=oa_dense_cap,
             )
     return caps
 
@@ -310,6 +340,7 @@ def _compute_caps_once(
     collapse_headroom: bool,
     slot_hint: int,
     dense_ok: bool,
+    oa_dense_cap: int = OA_DENSE_CAP,
 ) -> EncodeCaps:
     v = m.num_vars
     nfac = np.zeros(v + 1, dtype=np.int64)
@@ -319,7 +350,9 @@ def _compute_caps_once(
     oa_cap = 1
     for f in m.factors:
         for u in f.scope:
-            dense, rows = _classify_local(f.table.size, m.cards[int(u)], dense_ok)
+            dense, rows = _classify_local(
+                f.table.size, m.cards[int(u)], dense_ok, oa_dense_cap
+            )
             if dense:
                 nfac[int(u)] += 1
                 oa_cap = max(oa_cap, rows)
@@ -344,6 +377,10 @@ def _compute_caps_once(
         # of their cards, but only tables within MAX_TABLE_SIZE are ever
         # built (the reference NewFunction guard, model/function.go:59-78),
         # so larger blankets are simply not collapsible and need no room.
+        # Variants whose replacement incidences exceed the dense cap are
+        # excluded outright — the engine's candidate guard
+        # (``is_collapsible`` with ``oa_cap=oa_dense_cap``) never builds
+        # them, so they must not inflate oa_cap or the gather bank.
         blankets = m.blankets()
         for i, b in enumerate(blankets):
             if 1 < len(b) <= 12:
@@ -351,11 +388,15 @@ def _compute_caps_once(
                 tsize = int(
                     np.prod(m.cards[rest], dtype=np.float64).clip(max=2 * MAX_TABLE_SIZE)
                 )
-                if tsize <= MAX_TABLE_SIZE:
+                if tsize <= MAX_TABLE_SIZE and all(
+                    tsize // int(m.cards[u]) <= oa_dense_cap for u in rest
+                ):
                     collapse_scope = max(collapse_scope, len(rest))
                     collapse_table = max(collapse_table, tsize)
                     for u in rest:
-                        dense, rows = _classify_local(tsize, m.cards[u], dense_ok)
+                        dense, rows = _classify_local(
+                            tsize, m.cards[u], dense_ok, oa_dense_cap
+                        )
                         if dense:
                             oa_cap = max(oa_cap, rows)
                         else:
@@ -375,6 +416,7 @@ def _compute_caps_once(
         tail_cap=_roundup(ungrouped + (16 if collapse_headroom else 1), 8),
         slot_hint=max(1, slot_hint),
         base_mode="matmul" if dense_ok else "gather",
+        oa_dense_cap=oa_dense_cap,
     )
 
 
@@ -423,6 +465,7 @@ def merge_caps(a: EncodeCaps, b: EncodeCaps) -> EncodeCaps:
         # the old `"gather" in (...)` test mapped rowgather back to matmul
         # and re-materialized the per-slot Wbase HBM blowup)
         base_mode=max(a.base_mode, b.base_mode, key=_MODE_RANK.__getitem__),
+        oa_dense_cap=max(a.oa_dense_cap, b.oa_dense_cap),
     )
 
 
@@ -516,7 +559,8 @@ def encode_model(
             # with `== "matmul"` routed rowgather models into a gather bank
             # sized for dense classification, crashing Promedus_19)
             dense, rows = _classify_local(
-                f.table.size, cu, caps.sweep_mode != "gather"
+                f.table.size, cu, caps.sweep_mode != "gather",
+                caps.oa_dense_cap,
             )
             if dense:
                 jd = ndense[u]

@@ -53,13 +53,14 @@ def adapt_step(
     collapsed_any = group.collapsed_any()
     blankets = base.blankets()
 
+    oa_cap = getattr(group, "collapse_oa_cap", 0)
     candidates = [
         v
         for v in range(base.num_vars)
         if base.fixed[v] < 0
         and not collapsed_any[v]
         and len(blankets[v]) > 1
-        and is_collapsible(base, v, blankets[v])
+        and is_collapsible(base, v, blankets[v], oa_cap=oa_cap)
     ]
     if not candidates:
         return []

@@ -170,6 +170,15 @@ class ChainGroup:
         return self.caps.num_vars + 1
 
     @property
+    def collapse_oa_cap(self) -> int:
+        """Dense-classification bound a collapse variant must satisfy to
+        join this group (the adaptive candidate guard passes it to
+        ``is_collapsible``): variants needing gather-bank rows are
+        excluded — the gather bank under stacked variants crashed the
+        TPU worker (r3) and runs orders of magnitude slower."""
+        return self.caps.oa_dense_cap
+
+    @property
     def kdim(self) -> int:
         return self.caps.max_card
 
@@ -214,7 +223,10 @@ class ChainGroup:
         try:
             return encode_model(model, self.caps), False
         except ValueError:
-            self.caps = merge_caps(self.caps, compute_caps(model))
+            self.caps = merge_caps(
+                self.caps,
+                compute_caps(model, oa_dense_cap=self.caps.oa_dense_cap),
+            )
             self._refresh_pallas(self._want_pallas)
             self.encs = [encode_model(mv, self.caps) for mv in self.variants]
             return encode_model(model, self.caps), True

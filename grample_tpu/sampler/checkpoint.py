@@ -145,12 +145,21 @@ def load_checkpoint(
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(str(data["meta"]))
     if meta.get("split"):
-        from grample_tpu.sampler.split import SplitChainGroup
+        from grample_tpu.sampler.split import SplitChainGroup, aux_group_factory
 
         sp = meta["split"]
         main, _ = _load_one(path, base_model, None)
+        # the aux group must be rebuilt by the same factory a fresh
+        # SplitChainGroup uses (dense-256 rowgather caps, 64-variant
+        # limit) — a default ChainGroup would re-derive the heavyweight
+        # collapse-headroom caps the split design exists to avoid
+        # (ADVICE r3, medium)
         aux = (
-            _load_one(path + ".aux", base_model, None)[0] if sp["aux"] else None
+            _load_one(
+                path + ".aux", base_model,
+                aux_group_factory(rb_mixture=sp.get("rb_mixture", True)),
+            )[0]
+            if sp["aux"] else None
         )
         group = SplitChainGroup(
             base_model,
@@ -180,6 +189,15 @@ def _load_one(
         collapse_headroom=any(any(mv["collapsed"]) for mv in meta["variants"]),
     )
     group = (make_group or ChainGroup)(base_model, **kw)
+    if not hasattr(group, "state"):
+        # the factory produced a wrapper (e.g. SplitChainGroup) that
+        # cannot restore a single-stack snapshot; rebuild as a plain
+        # group with the snapshot's shapes — safe since collapse
+        # variants encode dense under the collapse-headroom caps
+        # (ADVICE r3, medium: resuming a non-split snapshot through an
+        # adaptive split-eligible engine config crashed on attribute
+        # access)
+        group = ChainGroup(base_model, **kw)
     if group.cpv != meta["cpv"] or group.cw != meta["cw"]:
         raise ValueError("group factory ignored the checkpoint's shape keywords")
     for mv in meta["variants"]:

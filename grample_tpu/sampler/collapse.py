@@ -52,8 +52,23 @@ class CollapseError(ValueError):
     pass
 
 
-def is_collapsible(m: DiscreteModel, var: int, blanket=None) -> bool:
-    """Can ``var`` be collapsed under the reference's guards?"""
+def is_collapsible(
+    m: DiscreteModel, var: int, blanket=None, oa_cap: int = 0
+) -> bool:
+    """Can ``var`` be collapsed under the reference's guards?
+
+    ``oa_cap`` (0 = off) adds the TPU engine's dense-bank guard: every
+    incidence of the replacement factor must fit the dense
+    classification (``table_size / card <= oa_cap``), i.e. the variant
+    must not need gather-bank rows.  The reference has no such guard
+    (its scalar loop costs the same either way,
+    ``sampler/gibbs-collapsed.go:93``); here the gather bank under
+    stacked variants hard-crashed the TPU worker (r3 acceptance) and ran
+    ~3 orders of magnitude slower, so the adaptive controller only
+    builds dense-eligible variants (``pgm/encode.COLLAPSE_OA_DENSE_CAP``
+    keeps every Promedus/Pedigree/Grids candidate eligible; it trims
+    high-cardinality outliers like ObjectDetection's biggest blankets).
+    """
     if m.fixed[var] >= 0 or m.collapsed[var]:
         return False
     b = blanket if blanket is not None else m.blankets()[var]
@@ -61,7 +76,11 @@ def is_collapsible(m: DiscreteModel, var: int, blanket=None) -> bool:
         return False
     rest = [u for u in sorted(b) if u != var]
     tsize = float(np.prod(m.cards[rest], dtype=np.float64))
-    return tsize <= MAX_TABLE_SIZE
+    if tsize > MAX_TABLE_SIZE:
+        return False
+    if oa_cap > 0 and any(tsize // int(m.cards[u]) > oa_cap for u in rest):
+        return False
+    return True
 
 
 def collapsible_vars(m: DiscreteModel) -> List[int]:
@@ -69,7 +88,9 @@ def collapsible_vars(m: DiscreteModel) -> List[int]:
     return [v for v in range(m.num_vars) if is_collapsible(m, v, blankets[v])]
 
 
-def pick_random_collapsible(m: DiscreteModel, rng: np.random.Generator) -> Optional[int]:
+def pick_random_collapsible(
+    m: DiscreteModel, rng: np.random.Generator, oa_cap: int = 0
+) -> Optional[int]:
     """Uniform random eligible var, retrying up to |V| times — the
     reference's ``Collapse(-1)`` selection loop (gibbs-collapsed.go:102-120)."""
     free = np.nonzero(m.free_mask)[0]
@@ -78,7 +99,7 @@ def pick_random_collapsible(m: DiscreteModel, rng: np.random.Generator) -> Optio
     blankets = m.blankets()
     for _ in range(m.num_vars):
         v = int(rng.choice(free))
-        if is_collapsible(m, v, blankets[v]):
+        if is_collapsible(m, v, blankets[v], oa_cap=oa_cap):
             return v
     return None
 

