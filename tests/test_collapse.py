@@ -140,3 +140,146 @@ def test_object_detection_table_cap():
         out, _ = collapse_var(m, v)  # must not raise
         out.check()
         break
+
+
+# ---- dense-256 collapse guard (r4: the gather bank under stacked
+# variants hard-crashed the TPU worker; collapse variants must stay on
+# the dense one-hot path) --------------------------------------------------
+
+def _star(n_leaves: int, rng) -> DiscreteModel:
+    """Binary star: center 0 coupled pairwise to each leaf (Promedus-like
+    topology — the blanket of 0 is all leaves)."""
+    factors = [
+        Factor(f"f{i}", [0, i], rng.random(4) + 0.1)
+        for i in range(1, n_leaves + 1)
+    ]
+    return DiscreteModel(
+        type="MARKOV", cards=[2] * (n_leaves + 1), factors=factors
+    )
+
+
+def test_is_collapsible_oa_cap_guard(rng):
+    m = _star(9, rng)  # rest 9 -> replacement table 512, OA 256
+    assert is_collapsible(m, 0)
+    assert is_collapsible(m, 0, oa_cap=256)
+    assert not is_collapsible(m, 0, oa_cap=32)
+
+    big = _star(10, rng)  # rest 10 -> table 1024, OA 512
+    assert is_collapsible(big, 0)  # reference guard alone allows it
+    assert not is_collapsible(big, 0, oa_cap=256)
+
+
+def test_collapse_headroom_caps_stay_dense(rng):
+    """Collapse-headroom caps classify replacement factors dense (no
+    gather-bank growth) and a blanket-10 variant encodes with an empty
+    gather bank — the exact configuration that crashed the r3 TPU
+    worker when it held live gather rows."""
+    from grample_tpu.pgm.encode import (
+        COLLAPSE_OA_DENSE_CAP,
+        compute_caps,
+        encode_model,
+        merge_caps,
+    )
+
+    m = _star(9, rng)
+    caps = compute_caps(m, collapse_headroom=True, slot_hint=8)
+    assert caps.oa_dense_cap == COLLAPSE_OA_DENSE_CAP
+    assert caps.gfac_cap == 0
+    assert caps.oa_cap == 256
+
+    variant, _ = collapse_var(m, 0)
+    caps = merge_caps(caps, compute_caps(variant, oa_dense_cap=caps.oa_dense_cap))
+    enc = encode_model(variant, caps)
+    assert enc.gb_mask.sum() == 0, "collapse variant must hold no gather rows"
+    assert (np.abs(enc.sw_local_tables).max(axis=(3, 4)) > 0).any()
+
+
+def test_adapt_guard_skips_gather_candidates(rng):
+    """adapt_step must never build a variant the group's dense cap
+    excludes (it would re-create the crashing gather tier)."""
+    from grample_tpu.sampler.adaptive import adapt_step
+    from grample_tpu.sampler.chains import ChainGroup
+
+    m = _star(10, rng)  # center OA 512 > 256: not dense-eligible
+    g = ChainGroup(m, chains_per_variant=8, converge_window=8, seed=1,
+                   collapse_headroom=True)
+    g.add_variant(m)
+    g.add_variant(m)
+    g.advance(8)
+    added = adapt_step(g, 4)
+    # the center (blanket 11) is excluded; leaves (blanket 2, the
+    # center) are eligible
+    assert 0 not in added
+    for v in added:
+        assert is_collapsible(m, v, oa_cap=g.collapse_oa_cap)
+
+
+def test_split_capacity_reporting(rng):
+    """SplitChainGroup.max_variants reflects main slots + aux capacity
+    (ADVICE r3: reporting the configured limit let adapt_step overfill
+    the aux group and abort the run)."""
+    from grample_tpu.sampler.split import AUX_MAX_VARIANTS, SplitChainGroup
+
+    m = _star(3, rng)
+    g = SplitChainGroup(m, chains_per_variant=8, converge_window=8, seed=1,
+                        aux_chains=8, max_variants=128)
+    g.add_variant(m)
+    g.add_variant(m)
+    assert g.max_variants == 2 + AUX_MAX_VARIANTS
+    variant, _ = collapse_var(m, 0)
+    g.add_variant(variant)
+    assert g.max_variants == 2 + AUX_MAX_VARIANTS  # aux slot, not main
+
+
+def test_split_aux_caps_factory_parity(rng, tmp_path):
+    """Checkpoint resume rebuilds the aux group with the same dense-256
+    rowgather caps a fresh SplitChainGroup uses (ADVICE r3: resume
+    restored the heavyweight default collapse-headroom caps)."""
+    from grample_tpu.sampler.checkpoint import load_checkpoint, save_checkpoint
+    from grample_tpu.sampler.split import SplitChainGroup
+
+    m = _star(4, rng)
+    g = SplitChainGroup(m, chains_per_variant=8, converge_window=8, seed=1,
+                        aux_chains=8)
+    g.add_variant(m)
+    g.add_variant(m)
+    variant, _ = collapse_var(m, 1)
+    g.add_variant(variant, burn_sweeps=2)
+    g.advance(8)
+    path = str(tmp_path / "split.npz")
+    save_checkpoint(path, g)
+
+    g2, _meta = load_checkpoint(path, m)
+    assert isinstance(g2, SplitChainGroup)
+    assert g2.aux is not None
+    assert g2.aux.caps.base_mode == g.aux.caps.base_mode == "rowgather"
+    assert g2.aux.caps.oa_dense_cap == g.aux.caps.oa_dense_cap
+    assert g2.aux.max_variants == g.aux.max_variants
+
+
+def test_nonsplit_snapshot_under_split_factory(rng, tmp_path):
+    """A plain-group snapshot must resume even when the engine factory
+    would produce a SplitChainGroup (ADVICE r3: AttributeError crash)."""
+    from grample_tpu.sampler.chains import ChainGroup
+    from grample_tpu.sampler.checkpoint import load_checkpoint, save_checkpoint
+    from grample_tpu.sampler.split import SplitChainGroup
+
+    m = _star(4, rng)
+    g = ChainGroup(m, chains_per_variant=8, converge_window=8, seed=1,
+                   collapse_headroom=True)
+    g.add_variant(m)
+    variant, _ = collapse_var(m, 1)
+    g.add_variant(variant)
+    g.advance(8)
+    path = str(tmp_path / "plain.npz")
+    save_checkpoint(path, g)
+
+    def split_factory(model, **kw):
+        return SplitChainGroup(model, **kw)
+
+    g2, _meta = load_checkpoint(path, m, make_group=split_factory)
+    assert isinstance(g2, ChainGroup)
+    assert g2.num_variants == 2
+    before = g2.total_samples
+    g2.advance(4)
+    assert g2.total_samples > before
