@@ -251,10 +251,10 @@ def main() -> int:
     for i, name in enumerate(nets):
         legs_left = len(nets) - i
         share = remaining() / legs_left - ENGINE_OVERHEAD
-        secs = min(SECS, share)
-        if secs < 30:
+        if share < min(30, SECS):
             skipped.append(f"engine:{name}")
             continue
+        secs = min(SECS, share)
         detail[name].update(run_phase_subprocess(
             "engine", name, secs + ENGINE_OVERHEAD + 120, secs=secs,
             retries=0))

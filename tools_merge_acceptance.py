@@ -1,53 +1,49 @@
-"""One-shot: merge acceptance part files -> results/acceptance.jsonl + .md."""
+"""One-shot: merge round-4 acceptance part files -> results/acceptance.jsonl + .md.
+
+Later parts win on duplicate (net, mode) keys, so re-runs supersede
+earlier rows.  Usage: python tools_merge_acceptance.py [part.jsonl ...]
+(defaults to results/acceptance_r4_*.jsonl in sorted order).
+"""
+import glob
 import json
 import sys
 
 sys.path.insert(0, ".")
 from grample_tpu.tools.experiments import summarize  # noqa: E402
 
-rows = []
-seen = set()
-for part in ("results/acceptance_part1.jsonl", "results/acceptance_part2.jsonl"):
-    try:
-        with open(part) as fh:
-            for line in fh:
-                r = json.loads(line)
-                key = (r["net"], r["mode"])
-                if key in seen:
-                    continue
-                seen.add(key)
-                rows.append(r)
-    except FileNotFoundError:
-        pass
+parts = sys.argv[1:] or sorted(glob.glob("results/acceptance_r4_*.jsonl"))
+rows = {}
+for part in parts:
+    with open(part) as fh:
+        for line in fh:
+            r = json.loads(line)
+            rows[(r["net"], r["mode"])] = r
 
-rows.sort(key=lambda r: (r["net"], r["mode"]))
+rows = [rows[k] for k in sorted(rows)]
+errors = [r for r in rows if "error" in r]
 with open("results/acceptance.jsonl", "w") as fh:
     for r in rows:
         fh.write(json.dumps(r) + "\n")
 with open("results/acceptance.md", "w") as fh:
-    wins, losses = summarize(rows, fh)
-    fh.write("""
-## Notes (round 3, 45 s budget, one TPU v5e chip)
+    summarize(rows, fh)
+    fh.write(f"""
+## Notes (round 4, 45 s sampling budget per run, one TPU v5e chip)
 
-- Run shape: reference `script/experiment` semantics (adaptive: 2 start
-  chains + 4 per adapt step; plain: 2 chains), 1024 micro-chains per
-  slot, annealed burn-in, scored against the bundled exact `.MAR`;
+- Run shapes: reference `script/experiment` semantics — adaptive (2
+  start chains + 4 per adapt step), plain (2 chains), rnd (random
+  collapse, 8 chains, half budget); 1024 micro-chains per slot,
+  annealed burn-in, scored against the bundled exact `.MAR`;
   `merlin meanHell` is the merlin solver's error on the same net.
-- **Plain Gibbs at TPU throughput beats merlin on most nets at 45 s**
-  (e.g. Promedus_19 0.189 vs 0.202, Promedus_11 0.050 vs 0.398,
-  CSP/Alchemy/ObjectDetection near-exact) — raw sampling rate
-  (1e8-3e10 counted site-samples/s) substitutes for the reference's
-  need to be clever per sample.
-- The kelly19a adaptive-vs-plain comparison inverts at this operating
-  point: adaptive pays adapt/collapse/aux overheads against a plain
-  sampler that is already near-exact, so plain wins most nets here.
-  The claim holds where mixing (not rate) is the binding constraint —
-  Grids_13: adaptive 0.326 vs plain 0.375 mean Hellinger (both beat
-  merlin's 0.368 only via the adaptive path).
-- The three `error` rows (Promedus_19/11, Pedigree_11 adaptive) hit a
-  TPU-worker crash on the rowgather aux path, fixed afterwards by
-  keeping the aux collapse group on the dense matmul base mode
-  (commit 450a133); rows stand as recorded in this run.
+- Every run executed in an isolated subprocess on the real chip
+  (`tools/experiments.py --isolate`); budgets are sampling time —
+  compile time is excluded via the engine's adapt-compensation and the
+  off-clock warmup, and each row's `secs` field records true wall.
+- Round-3's adaptive TPU-worker crashes on Promedus_11/19 and
+  Pedigree_11 were root-caused to gather-bank collapse variants under
+  stacked slots and fixed by the dense-256 collapse encoding
+  (commit a92ab92); the r3 note in this file claiming an earlier fix
+  (450a133) was wrong — that commit only changed the aux slot hint,
+  and the crash persisted until the gather bank was eliminated.
+- nets x modes covered: {len(rows)} rows, {len(errors)} errors.
 """)
-ok = sum(1 for r in rows if "error" not in r)
-print(f"{len(rows)} rows ({ok} ok), adaptive<=plain wins {wins}/{wins+losses}")
+print(f"merged {len(parts)} parts -> {len(rows)} rows ({len(errors)} errors)")
