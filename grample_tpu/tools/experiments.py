@@ -46,7 +46,8 @@ def suite_nets(res_dir: str):
 
 def run_one(res_dir: str, net: str, mode: str, secs: float, vchains: int,
             seed: int, log=lambda s: None, burnin: int = -1,
-            cwin: int = 0, rb_mixture: bool = True) -> dict:
+            cwin: int = 0, rb_mixture: bool = True,
+            trace_dir: str = "") -> dict:
     from grample_tpu.sampler.engine import Engine, EngineConfig
 
     spec = MODES[mode]
@@ -68,7 +69,14 @@ def run_one(res_dir: str, net: str, mode: str, secs: float, vchains: int,
         burnin=burnin,
         converge_window=cwin,
         status_secs=1e9,  # quiet
+        # reference --experiment/-p: per-tick CSV time series in the
+        # trace file (cmd/root.go:455-458, :520-533) for plateau curves
+        trace_path=(os.path.join(trace_dir, f"{net}_{mode}.trace")
+                    if trace_dir else ""),
+        experiment=bool(trace_dir),
     )
+    if trace_dir:
+        os.makedirs(trace_dir, exist_ok=True)
     t0 = time.time()
     try:
         res = Engine(cfg, log=log).run()
@@ -128,7 +136,8 @@ def summarize(rows, out):
     return wins, losses
 
 
-def run_one_isolated(res_dir, net, mode, secs, vchains, seed, timeout) -> dict:
+def run_one_isolated(res_dir, net, mode, secs, vchains, seed, timeout,
+                     trace_dir: str = "") -> dict:
     """One run in a fresh subprocess: the tunneled TPU worker has been
     observed to crash after long multi-phase sessions, so a 60-run suite
     must not share one process.  Retries once."""
@@ -141,6 +150,8 @@ def run_one_isolated(res_dir, net, mode, secs, vchains, seed, timeout) -> dict:
         "--secs", str(secs), "--vchains", str(vchains), "--seed", str(seed),
         "--one-shot",
     ]
+    if trace_dir:
+        cmd += ["--trace-dir", trace_dir]
     for attempt in (1, 2):
         try:
             proc = subprocess.run(
@@ -172,6 +183,8 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="", help="JSONL output path")
     ap.add_argument("--isolate", action="store_true",
                     help="run each (net, mode) in a fresh subprocess")
+    ap.add_argument("--trace-dir", default="",
+                    help="write per-run experiment trace files here")
     ap.add_argument("--one-shot", action="store_true",
                     help="internal: emit a single machine-readable result")
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -183,7 +196,7 @@ def main(argv=None) -> int:
 
     if args.one_shot:
         r = run_one(args.res, nets[0], modes[0], args.secs, args.vchains,
-                    args.seed, log)
+                    args.seed, log, trace_dir=args.trace_dir)
         print("EXPERIMENT-RESULT:" + json.dumps(r), flush=True)
         return 0
 
@@ -194,10 +207,11 @@ def main(argv=None) -> int:
             if args.isolate:
                 r = run_one_isolated(args.res, net, mode, args.secs,
                                      args.vchains, args.seed,
-                                     timeout=args.secs + 900)
+                                     timeout=args.secs + 900,
+                                     trace_dir=args.trace_dir)
             else:
                 r = run_one(args.res, net, mode, args.secs, args.vchains,
-                            args.seed, log)
+                            args.seed, log, trace_dir=args.trace_dir)
             rows.append(r)
             line = json.dumps(r)
             print(line, flush=True)
