@@ -104,6 +104,7 @@ class RunResult:
     score_vs_merlin: Optional[ErrorSuite] = None
     convergence: Optional[Dict[str, np.ndarray]] = None
     samples_per_sec: float = 0.0
+    aux_secs: float = 0.0  # split execution: wall spent on the aux group
 
 
 class Engine:
@@ -348,6 +349,7 @@ class Engine:
             variants=group.num_variants,
             collapsed=sorted(int(x) for x in np.nonzero(group.collapsed_any())[0]),
             samples_per_sec=group.total_samples / max(runtime, 1e-9),
+            aux_secs=float(getattr(group, "aux_secs", 0.0)),
         )
 
         if solution is not None:
@@ -472,6 +474,7 @@ class Engine:
                     "variants": result.variants,
                     "collapsed": result.collapsed,
                     "samples_per_sec": result.samples_per_sec,
+                    "aux_secs": result.aux_secs,
                     "final_score": result.final_score.as_dict() if result.final_score else None,
                 }
             )

@@ -150,6 +150,10 @@ class SplitChainGroup:
         self._max_variants = max_variants
         self.rb_mixture = bool(rb_mixture)
         self.aux_cpv = min(int(aux_chains), self.cpv)
+        #: cumulative wall seconds spent advancing the aux group (the
+        #: split design's overhead budget; surfaced in run results so
+        #: the aux share of each tick is measured, not assumed)
+        self.aux_secs = 0.0
         self.main = _main or ChainGroup(
             base_model,
             chains_per_variant=chains_per_variant,
@@ -279,7 +283,12 @@ class SplitChainGroup:
     def _advance_aux(self) -> int:
         if self.aux is None or self.aux.num_variants == 0:
             return 0
-        return self.aux.advance(min(self.cw, AUX_TICK_SWEEPS), defer=False)
+        import time
+
+        t0 = time.time()
+        taken = self.aux.advance(min(self.cw, AUX_TICK_SWEEPS), defer=False)
+        self.aux_secs += time.time() - t0
+        return taken
 
     def flush(self) -> None:
         self.main.flush()
