@@ -56,8 +56,11 @@ MARKER = "BENCH-PHASE-RESULT:"
 
 #: rough non-budget overhead of an engine leg (model load + compiles +
 #: burn-in dispatch + final scoring) on the tunneled chip, used to size
-#: subprocess timeouts and auto-shrunk budgets
-ENGINE_OVERHEAD = 240.0
+#: subprocess timeouts and auto-shrunk budgets.  The engine also extends
+#: its budget clock by adapt-time compile cost (capped at one extra
+#: budget, sampler/engine.py), so an engine leg's wall cost model is
+#: OVERHEAD + 2*secs.
+ENGINE_OVERHEAD = 300.0
 
 
 # --------------------------------------------------------------------------
@@ -250,14 +253,16 @@ def main() -> int:
     # ---- priority 2: engine quality legs, budgets shrunk to fit ----------
     for i, name in enumerate(nets):
         legs_left = len(nets) - i
+        # wall model: OVERHEAD + sampling budget + compile compensation
+        # (<= one budget, see engine.py) -> solve for secs from the share
         share = remaining() / legs_left - ENGINE_OVERHEAD
-        if share < min(30, SECS):
+        secs = min(SECS, share / 2)
+        if secs < min(30, SECS):
             skipped.append(f"engine:{name}")
             continue
-        secs = min(SECS, share)
+        timeout = min(remaining(), ENGINE_OVERHEAD + 2 * secs + 120)
         detail[name].update(run_phase_subprocess(
-            "engine", name, secs + ENGINE_OVERHEAD + 120, secs=secs,
-            retries=0))
+            "engine", name, timeout, secs=secs, retries=0))
 
     headline_rate = None
     headline_anchor = None

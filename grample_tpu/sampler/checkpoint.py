@@ -76,6 +76,7 @@ def save_checkpoint(path: str, group, cfg=None, runtime: float = 0.0) -> None:
             "cpv": group.cpv,
             "seed": group.seed,
             "rb_mixture": group.rb_mixture,
+            "max_variants": group._max_variants,
         }
         _save_one(path, group.main, cfg, runtime, split=split)
         return
@@ -154,10 +155,13 @@ def load_checkpoint(
         # limit) — a default ChainGroup would re-derive the heavyweight
         # collapse-headroom caps the split design exists to avoid
         # (ADVICE r3, medium)
+        from grample_tpu.sampler.chains import MAX_VARIANTS
+
+        mv = int(sp.get("max_variants", MAX_VARIANTS))
         aux = (
             _load_one(
                 path + ".aux", base_model,
-                aux_group_factory(rb_mixture=sp.get("rb_mixture", True)),
+                aux_group_factory(mv, rb_mixture=sp.get("rb_mixture", True)),
             )[0]
             if sp["aux"] else None
         )
@@ -166,6 +170,7 @@ def load_checkpoint(
             chains_per_variant=sp["cpv"],
             converge_window=main.cw,
             seed=sp["seed"],
+            max_variants=mv,
             rb_mixture=sp.get("rb_mixture", True),
             aux_chains=sp["aux_cpv"],
             _main=main,

@@ -242,6 +242,10 @@ class Engine:
         keep_adapting = cfg.sampler == "adaptive"
         keep_working = True
         score = None
+        # total budget-clock compensation allowance for adapt-time
+        # compiles (see below): bounded so a pathological compile storm
+        # cannot extend the run past ~2x the configured budget
+        comp_left = max(60.0, cfg.max_secs)
 
         win_time = None  # EMA: measured seconds per counted window
         while keep_working:
@@ -319,7 +323,10 @@ class Engine:
                     # adapt time beyond a scalar-work allowance so runs
                     # compare at matched SAMPLING budget; the wall time
                     # is still reported honestly by callers.
-                    comp = max(0.0, (time.time() - t_adapt) - 0.5)
+                    comp = min(
+                        comp_left, max(0.0, (time.time() - t_adapt) - 0.5)
+                    )
+                    comp_left -= comp
                     stop_time += comp
                     no_adapt_time += comp
                     self.log(
