@@ -137,23 +137,31 @@ def summarize(rows, out):
     return wins, losses
 
 
-def run_one_isolated(res_dir, net, mode, secs, vchains, seed, timeout,
-                     trace_dir: str = "") -> dict:
-    """One run in a fresh subprocess: the tunneled TPU worker has been
+def run_isolated(res_dir, net, modes, secs, vchains, seed, timeout,
+                 trace_dir: str = "") -> list:
+    """All of one net's modes in a fresh subprocess (shared jax init,
+    model load and compile caches): the tunneled TPU worker has been
     observed to crash after long multi-phase sessions, so a 60-run suite
-    must not share one process.  Retries once."""
+    must not share one process, but per-(net, mode) isolation wasted
+    100-150 s of fixed overhead per row.  Retries once if a mode's
+    result line is missing."""
     import subprocess
 
     marker = "EXPERIMENT-RESULT:"
-    cmd = [
-        sys.executable, "-m", "grample_tpu.tools.experiments",
-        "--res", res_dir, "--nets", net, "--modes", mode,
-        "--secs", str(secs), "--vchains", str(vchains), "--seed", str(seed),
-        "--one-shot",
-    ]
-    if trace_dir:
-        cmd += ["--trace-dir", trace_dir]
+    got = {}
+    last = "not run"
     for attempt in (1, 2):
+        missing = [m for m in modes if m not in got]
+        if not missing:
+            break
+        cmd = [
+            sys.executable, "-m", "grample_tpu.tools.experiments",
+            "--res", res_dir, "--nets", net, "--modes", ",".join(missing),
+            "--secs", str(secs), "--vchains", str(vchains),
+            "--seed", str(seed), "--one-shot",
+        ]
+        if trace_dir:
+            cmd += ["--trace-dir", trace_dir]
         try:
             proc = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=timeout,
@@ -162,14 +170,15 @@ def run_one_isolated(res_dir, net, mode, secs, vchains, seed, timeout,
             )
             for line in proc.stdout.splitlines():
                 if line.startswith(marker):
-                    return json.loads(line[len(marker):])
+                    r = json.loads(line[len(marker):])
+                    got[r["mode"]] = r
             err = (proc.stderr or "").strip().splitlines()
             last = err[-1][:200] if err else f"exit {proc.returncode}"
         except subprocess.TimeoutExpired:
             last = f"timeout after {timeout}s"
-        if attempt == 2:
-            return {"net": net, "mode": mode, "error": last}
-    return {}
+    return [
+        got.get(m, {"net": net, "mode": m, "error": last}) for m in modes
+    ]
 
 
 def main(argv=None) -> int:
@@ -196,23 +205,30 @@ def main(argv=None) -> int:
     log = print if args.verbose else (lambda s: None)
 
     if args.one_shot:
-        r = run_one(args.res, nets[0], modes[0], args.secs, args.vchains,
-                    args.seed, log, trace_dir=args.trace_dir)
-        print("EXPERIMENT-RESULT:" + json.dumps(r), flush=True)
+        for net in nets:
+            for mode in modes:
+                r = run_one(args.res, net, mode, args.secs, args.vchains,
+                            args.seed, log, trace_dir=args.trace_dir)
+                print("EXPERIMENT-RESULT:" + json.dumps(r), flush=True)
         return 0
 
     rows = []
     fh = open(args.out, "w") if args.out else None
     for net in nets:
-        for mode in modes:
-            if args.isolate:
-                r = run_one_isolated(args.res, net, mode, args.secs,
-                                     args.vchains, args.seed,
-                                     timeout=args.secs + 900,
-                                     trace_dir=args.trace_dir)
-            else:
-                r = run_one(args.res, net, mode, args.secs, args.vchains,
-                            args.seed, log, trace_dir=args.trace_dir)
+        if args.isolate:
+            # wall model per run: ~2x budget (engine compile
+            # compensation) + fixed overhead; see sampler/engine.py
+            per_net = run_isolated(
+                args.res, net, modes, args.secs, args.vchains, args.seed,
+                timeout=len(modes) * 2 * args.secs + 900,
+                trace_dir=args.trace_dir)
+        else:
+            per_net = [
+                run_one(args.res, net, mode, args.secs, args.vchains,
+                        args.seed, log, trace_dir=args.trace_dir)
+                for mode in modes
+            ]
+        for r in per_net:
             rows.append(r)
             line = json.dumps(r)
             print(line, flush=True)
