@@ -102,7 +102,14 @@ def phase_throughput(net: str, _secs: float) -> dict:
 
     path = os.path.join(RES, net + ".uai")
     model = load_model(path, use_evidence=os.path.exists(path + ".evid"))
-    g = ChainGroup(model, chains_per_variant=CHAINS, converge_window=256, seed=42)
+    # cap chains so the split-half window buffer stays <= 2 GB (donation
+    # transiently doubles it; Promedus_19 at 262144 chains would allocate
+    # 2x3.9 GB and flirt with HBM exhaustion on a 16 GB chip)
+    chains = CHAINS
+    k = int(model.max_card)
+    while chains > 1024 and 2 * chains * (model.num_vars + 1) * k * 4 > 2 << 30:
+        chains //= 2
+    g = ChainGroup(model, chains_per_variant=chains, converge_window=256, seed=42)
     g.add_variant(model)
     g.burn(8)
     g.advance(8)  # compile count=True + settle
