@@ -268,8 +268,12 @@ def main() -> int:
             skipped.append(f"engine:{name}")
             continue
         timeout = min(remaining(), ENGINE_OVERHEAD + 2 * secs + 120)
+        # one retry when the wall affords it: cold axon remote-compiles
+        # have been observed to wedge the tunneled worker on first
+        # attempts, while warm-cache retries sail through (r4)
         detail[name].update(run_phase_subprocess(
-            "engine", name, timeout, secs=secs, retries=0))
+            "engine", name, timeout, secs=secs,
+            retries=1 if remaining() > 2 * timeout else 0))
 
     headline_rate = None
     headline_anchor = None
