@@ -94,6 +94,17 @@ from grample_tpu.pgm.discrete import LOG_EPS, MAX_TABLE_SIZE, DiscreteModel, tab
 #: rely on for full-rate matmuls.
 OA_DENSE_CAP = 32
 
+#: Largest base-model incidence (local rows) the encoder will dense-ify
+#: to keep a model's encoding free of LIVE gather-bank rows.  The
+#: gather bank with live rows under >= 2 stacked variants hard-crashes
+#: the TPU worker (r4: deterministic on dv-rel_3/dv-rel_4HW, whose
+#: scope-10 1024-entry tables make every incidence OA 512), and the
+#: dense one-hot path at identical caps runs clean — so when the
+#: largest base incidence fits this bound, the dense threshold is
+#: raised to cover it (dv-rel_3: ~29 MB of local tables per slot).
+#: Models beyond the bound keep the gather bank (documented fallback).
+BASE_DENSE_LIMIT = 1024
+
 #: Dense classification cap for COLLAPSE-HEADROOM encodings.  Collapse
 #: replacement factors (blanket cliques) routinely exceed 32 local rows
 #: (binary blanket 9 -> OA 128); classifying them into the gather bank
@@ -310,6 +321,16 @@ def compute_caps(
     """
     if oa_dense_cap <= 0:
         oa_dense_cap = COLLAPSE_OA_DENSE_CAP if collapse_headroom else OA_DENSE_CAP
+    base_max_oa = max(
+        (int(f.table.size) // int(m.cards[int(u)]) for f in m.factors
+         for u in f.scope),
+        default=1,
+    )
+    if oa_dense_cap < base_max_oa <= BASE_DENSE_LIMIT:
+        # keep the base encoding free of live gather rows (see
+        # BASE_DENSE_LIMIT): raise the dense threshold to the largest
+        # base incidence
+        oa_dense_cap = base_max_oa
     caps = _compute_caps_once(
         m, headroom_factors, headroom_table, group_cap, collapse_headroom,
         slot_hint, dense_ok=True, oa_dense_cap=oa_dense_cap,

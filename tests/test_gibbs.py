@@ -374,3 +374,22 @@ def test_deterministic_uai_marginals():
     counts = _run_chains(m, sweeps=200, chains=4096, seed=9)
     est = counts / counts.sum(axis=1, keepdims=True)
     np.testing.assert_allclose(est[:, 0], 0.5, atol=0.04)
+
+
+def test_base_dense_limit_avoids_live_gather_rows(rng):
+    """Models whose largest base incidence fits BASE_DENSE_LIMIT encode
+    fully dense (r4: live gather-bank rows under stacked variants
+    deterministically crashed the TPU worker on dv-rel_3/dv-rel_4HW,
+    whose scope-10 1024-entry tables put every incidence at OA 512)."""
+    from grample_tpu.pgm.encode import BASE_DENSE_LIMIT, compute_caps
+
+    # scope-10 binary factor, 1024 entries -> OA 512 per incidence
+    v = 10
+    big = Factor("big", np.arange(v), rng.random(2**v) + 0.1)
+    m = DiscreteModel(type="MARKOV", cards=np.full(v, 2), factors=[big])
+    caps = compute_caps(m)
+    assert caps.oa_dense_cap == 512 <= BASE_DENSE_LIMIT
+    assert caps.gfac_cap == 0
+    enc = encode_model(m, caps)
+    assert enc.gb_mask.sum() == 0
+    assert (np.abs(enc.sw_local_tables).max(axis=(3, 4)) > 0).sum() == v
