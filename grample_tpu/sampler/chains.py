@@ -61,6 +61,19 @@ ANNEAL_STAGES = 20
 #: needed compute (and its burn-in blew the whole time budget).
 CHUNK_SLOTS = 8
 
+#: Counted XLA windows run in sub-windows of at most this many sweeps.
+#: Long counted fori_loops on the XLA sweep have intermittently crashed
+#: the TPU worker at scale (r4: rnd-mode 2000-sweep counted windows on
+#: 8x1024-chain collapse groups died on Pedigree/Promedus/CSP/Alchemy
+#: while the split aux's 128-sweep ticks of the SAME program ran clean
+#: through ~60 adaptive runs; r3's repro5 crash was also a 2000-sweep
+#: counted window).  Sub-windows keep split-half semantics bit-exact:
+#: each sub-call adds into the same halves buffer with the traced
+#: half_point shifted by the sweeps already taken.  One extra dispatch
+#: per 256 sweeps is noise.  Pallas windows are unaffected (different
+#: codegen, never implicated).
+XLA_MAX_COUNTED_SWEEPS = 256
+
 
 @jax.jit
 def _rb_indices(state, slots, rest, strides):
@@ -525,7 +538,16 @@ class ChainGroup:
         """
         sweeps = self.cw if sweeps is None else int(sweeps)
         self.halves = jnp.zeros_like(self.halves)
-        self._advance_fn(sweeps, sweeps // 2, count=True)
+        if self.use_pallas:
+            self._advance_fn(sweeps, sweeps // 2, count=True)
+        else:
+            # sub-windowed counted advance (see XLA_MAX_COUNTED_SWEEPS);
+            # half_point shifts per sub-call so hsel stays globally exact
+            done = 0
+            while done < sweeps:
+                sub = min(XLA_MAX_COUNTED_SWEEPS, sweeps - done)
+                self._advance_fn(sub, sweeps // 2 - done, count=True)
+                done += sub
         delta = self.halves.astype(jnp.int32).sum(axis=(1, 2))
         self._pending.append((delta, self.num_variants))
         self.total_sweeps += sweeps
