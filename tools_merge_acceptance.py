@@ -44,6 +44,16 @@ with open("results/acceptance.md", "w") as fh:
   (commit a92ab92); the r3 note in this file claiming an earlier fix
   (450a133) was wrong — that commit only changed the aux slot hint,
   and the crash persisted until the gather bank was eliminated.
+  Two residual crash classes surfaced and were fixed while running
+  this suite: all-gather base encodings (dv-rel_3/4HW — dense-ified
+  up to OA 1024, commit 965242d) and long counted XLA windows at
+  rnd-mode scale (sub-windowed at 256 sweeps, commit 457a7fb); rows
+  recorded before each fix were re-run after it.  Six rnd rows
+  (CSP_11/13, Pedigree_11/12/13, Promedus_17) still hit worker
+  crashes at round end: the residual failures cluster on the
+  non-binary (card 3-4) nets' collapsed-sampler runs and are the top
+  open item for round 5; adaptive and plain cover all 29 nets with
+  zero errors.
 - nets x modes covered: {len(rows)} rows, {len(errors)} errors.
 """)
 print(f"merged {len(parts)} parts -> {len(rows)} rows ({len(errors)} errors)")
