@@ -49,11 +49,16 @@ with open("results/acceptance.md", "w") as fh:
   up to OA 1024, commit 965242d) and long counted XLA windows at
   rnd-mode scale (sub-windowed at 256 sweeps, commit 457a7fb); rows
   recorded before each fix were re-run after it.  Six rnd rows
-  (CSP_11/13, Pedigree_11/12/13, Promedus_17) still hit worker
-  crashes at round end: the residual failures cluster on the
-  non-binary (card 3-4) nets' collapsed-sampler runs and are the top
-  open item for round 5; adaptive and plain cover all 29 nets with
-  zero errors.
+  (CSP_11/13, Pedigree_11/12/13, Promedus_17) remained errors at
+  round end.  Timeline attribution: the CSP/Pedigree originals ran
+  BEFORE the sub-window mitigation landed, and their re-runs ran
+  CONCURRENTLY with the rest of the suite on the one chip (device
+  contention manifests as worker wedges) — a clean sequential re-run
+  is the first round-5 action; Promedus_17 is the one post-mitigation
+  sequential failure (Promedus_18 passed immediately after).  No
+  structural discriminator separates failing from passing nets
+  (CSP_11 and CSP_12 have near-identical encode profiles).  Adaptive
+  and plain cover all 29 nets with zero errors.
 - nets x modes covered: {len(rows)} rows, {len(errors)} errors.
 """)
 print(f"merged {len(parts)} parts -> {len(rows)} rows ({len(errors)} errors)")
