@@ -247,8 +247,15 @@ def main() -> int:
         if remaining() < 60:
             skipped.append(f"anchor/throughput:{name}")
             continue
+        # size the anchor timeout from the sample count at a conservative
+        # 1e6 samples/s floor (measured anchors run ~1e7/s, ADVICE r4: a
+        # flat 300 s silently nulled vs_baseline for any slower net)
+        anchor_timeout = min(remaining(), max(600.0, ANCHOR_SAMPLES / 1e6))
         detail[name].update(run_phase_subprocess(
-            "anchor", name, min(300, remaining()), retries=0))
+            "anchor", name, anchor_timeout, retries=0))
+        if "anchor_samples_per_sec" not in detail[name]:
+            skipped.append(f"anchor:{name}:" + str(
+                detail[name].get("error", "no rate"))[:80])
         budget = min(420, remaining())
         if budget < 60:
             skipped.append(f"throughput:{name}")

@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max site samples (0: unlimited)")
     s.add_argument("-x", "--maxsecs", type=float, default=300.0,
                    help="max runtime seconds")
+    s.add_argument("--budget", default="sampling",
+                   choices=("sampling", "wall"),
+                   help="maxsecs bounds sampling time (compiles excluded,"
+                        " comparable-effort default) or literal wall clock"
+                        " (the reference --maxsecs contract)")
     s.add_argument("-p", "--experiment", action="store_true",
                    help="experiment mode: CSV time series into the trace file")
     s.add_argument("--addr", default="", help="monitor HTTP address, e.g. :8000")
@@ -116,6 +121,7 @@ def cmd_sample(args) -> int:
         chain_adds=args.chainadds,
         max_iters=args.maxiters,
         max_secs=args.maxsecs,
+        budget=args.budget,
         seed=args.seed,
         measure=args.measure,
         adapt_policy=args.adapt_policy,

@@ -280,8 +280,10 @@ class ShardedChainGroup(ChainGroup):
             (self.slot_cap, 2, self.cpv, self.v1, self.kdim), HALVES_SPEC
         )
 
-    def add_variant(self, model, burn_sweeps=0, warm_marginals=None):
-        slot = super().add_variant(model, burn_sweeps, warm_marginals)
+    def add_variant(self, model, burn_sweeps=0, warm_marginals=None,
+                    init_states=None):
+        slot = super().add_variant(model, burn_sweeps, warm_marginals,
+                                   init_states)
         # .at[].set on sharded arrays preserves sharding; re-pin anyway so
         # layout never silently degrades to single-device.
         self.stack = {k: self._shard(v, ENC_SPEC) for k, v in self.stack.items()}

@@ -61,6 +61,16 @@ ANNEAL_STAGES = 20
 #: needed compute (and its burn-in blew the whole time budget).
 CHUNK_SLOTS = 8
 
+#: Minimum RB-mixture snapshots before the mixture average replaces the
+#: static collapse marginal in ``merged_marginals``: a 1-snapshot average
+#: is a single (correlated-chain) draw of the blanket distribution and
+#: can be noisier than the static enumeration it supersedes.  Collapse
+#: variants added near the end of a budget accrue few snapshots (r4:
+#: Promedus_19's last adapt landed 4 variants ~40 s before the stop),
+#: so the gate keeps the reference-faithful static value until the
+#: mixture has at least a couple of decorrelated snapshots.
+RB_MIN_SNAPSHOTS = 2
+
 #: Counted XLA windows run in sub-windows of at most this many sweeps.
 #: Long counted fori_loops on the XLA sweep have intermittently crashed
 #: the TPU worker at scale (r4: rnd-mode 2000-sweep counted windows on
@@ -281,6 +291,41 @@ class ChainGroup:
         fixedv = np.asarray(enc.fixed, dtype=np.int32)
         return np.where(fixedv[None, :] >= 0, fixedv[None, :], draw)
 
+    def _transplant_states(
+        self, enc: EncodedModel, rows: np.ndarray
+    ) -> np.ndarray:
+        """[cpv, V+1] initial states subsampled from donor chain states.
+
+        Donor rows are exchangeable (independent chains), so a uniform
+        without-replacement subsample preserves their joint distribution;
+        evidence is re-pinned defensively (donors already honor it).
+        """
+        if rows.ndim != 2 or rows.shape[1] != self.v1:
+            raise ValueError(f"init_states shape {rows.shape} != (M, {self.v1})")
+        rng = np.random.default_rng(self._step * 7919 + 13)
+        self._step += 1
+        if rows.shape[0] < self.cpv:
+            pick = rng.integers(0, rows.shape[0], size=self.cpv)
+        elif rows.shape[0] > self.cpv:
+            pick = rng.choice(rows.shape[0], size=self.cpv, replace=False)
+        else:
+            pick = np.arange(self.cpv)
+        st = rows[pick].astype(np.int32)
+        fixedv = np.asarray(enc.fixed, dtype=np.int32)
+        return np.where(fixedv[None, :] >= 0, fixedv[None, :], st)
+
+    def plain_slot_states(self) -> Optional[np.ndarray]:
+        """Host copy [cpv, V+1] of the first base-model (plain) slot's
+        chain states — the transplant donor for adaptively added collapse
+        variants (see ``add_variant``).  None when no plain slot exists
+        (e.g. rnd mode collapses every starting slot)."""
+        v = self.caps.num_vars
+        base_col = self.base.collapsed[:v]
+        for slot, mv in enumerate(self.variants):
+            if not (mv.collapsed[:v] & ~base_col).any():
+                return np.asarray(self.state[slot])
+        return None
+
     def _alloc_halves(self):
         """Window count buffer (subclasses allocate it sharded)."""
         return jnp.zeros(
@@ -339,13 +384,24 @@ class ChainGroup:
         model: DiscreteModel,
         burn_sweeps: int = 0,
         warm_marginals: Optional[np.ndarray] = None,
+        init_states: Optional[np.ndarray] = None,
     ) -> int:
         """Add a model variant (a logical chain); returns its slot index.
 
-        ``warm_marginals`` [V, K] draws the slot's initial states from the
-        current merged estimate — the reference's warm restart for
-        adaptively added chains; otherwise uniform init.  ``burn_sweeps``
-        runs uncounted sweeps afterwards (reference burnIn).
+        ``init_states`` [M, V+1] transplants the slot's initial chain
+        states from existing equilibrated chains (rows subsampled without
+        replacement when M > chains_per_variant).  This is the preferred
+        warm start for adaptively collapsed variants: base-joint samples
+        ARE equilibrium samples of the collapsed model's joint over the
+        remaining vars, so the new variant starts in equilibrium with the
+        plain ensemble's full mode diversity.  ``warm_marginals`` [V, K]
+        instead draws each var INDEPENDENTLY from the merged estimate —
+        which destroys mode correlations: on multimodal nets the
+        incoherent states quench into the dominant mode and the variant's
+        Rao-Blackwell blanket distribution over-concentrates (r4:
+        Promedus_19's collapsed cluster 303-305 sharpened to the wrong
+        mode, max Hellinger 0.64 -> 0.77).  ``burn_sweeps`` runs
+        uncounted sweeps afterwards (reference burnIn).
         """
         if self.num_variants >= self.max_variants:
             raise RuntimeError(f"variant limit {self.max_variants} reached")
@@ -376,7 +432,10 @@ class ChainGroup:
                         for k, v in pal.items()
                     }
         # (re)initialize this slot's chains on the host
-        st = self._host_init_state(enc, warm_marginals)
+        if init_states is not None:
+            st = self._transplant_states(enc, np.asarray(init_states))
+        else:
+            st = self._host_init_state(enc, warm_marginals)
         self.state = self.state.at[slot].set(jnp.asarray(st))
         self.totals[slot] = 0.0
         if burn_sweeps > 0:
@@ -538,7 +597,11 @@ class ChainGroup:
         """
         sweeps = self.cw if sweeps is None else int(sweeps)
         self.halves = jnp.zeros_like(self.halves)
-        if self.use_pallas:
+        if self.use_pallas or sweeps == 0:
+            # sweeps=0 still dispatches once: the documented warmup
+            # contract (compile the counted program) must hold on the
+            # sub-windowed XLA path too, whose loop body would otherwise
+            # never run (ADVICE r4)
             self._advance_fn(sweeps, sweeps // 2, count=True)
         else:
             # sub-windowed counted advance (see XLA_MAX_COUNTED_SWEEPS);
@@ -668,15 +731,16 @@ class ChainGroup:
         merged = self.num_chains * uniform + self.totals[: self.num_variants, :v].sum(axis=0)
         # collapsed override in slot order, first-found wins (matches the
         # reference's break-on-found in MergeChains); the RB mixture
-        # average supersedes the static collapse marginal when snapshots
-        # have accumulated (see rb_accumulate) — scale is irrelevant,
-        # every consumer renormalizes per row
+        # average supersedes the static collapse marginal once at least
+        # RB_MIN_SNAPSHOTS decorrelated snapshots have accumulated (see
+        # rb_accumulate) — scale is irrelevant, every consumer
+        # renormalizes per row
         seen = np.zeros(v, dtype=bool)
         for slot, mv in enumerate(self.variants):
             for var in np.nonzero(mv.collapsed[:v] & ~seen)[0]:
                 merged[var] = 0.0
-                nrb = self._rb_n.get((slot, int(var)))
-                if self.rb_mixture and nrb:
+                nrb = self._rb_n.get((slot, int(var)), 0)
+                if self.rb_mixture and nrb >= RB_MIN_SNAPSHOTS:
                     est = self._rb_sum[(slot, int(var))] / nrb
                     merged[var, : est.size] = est
                 else:

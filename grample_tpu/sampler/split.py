@@ -236,23 +236,32 @@ class SplitChainGroup:
         self.main.reserve(min(n_slots, 8))
 
     def add_variant(self, model: DiscreteModel, burn_sweeps: int = 0,
-                    warm_marginals=None) -> int:
-        if self.num_variants >= self.max_variants:
-            raise RuntimeError(f"variant limit {self.max_variants} reached")
+                    warm_marginals=None, init_states=None) -> int:
+        # route first, then guard against the DESTINATION group's own
+        # capacity: the aggregate max_variants is capped by aux capacity,
+        # which must not block plain (main-group) additions (ADVICE r4)
         v = self.base.num_vars
         newly_collapsed = bool(
             (model.collapsed[:v] & ~self.base.collapsed[:v]).any()
         )
         if newly_collapsed:
             aux = self._ensure_aux()
+            if aux.num_variants >= aux.max_variants:
+                raise RuntimeError(
+                    f"aux variant limit {aux.max_variants} reached"
+                )
             first = aux.num_variants == 0
             slot = aux.add_variant(model, burn_sweeps=burn_sweeps,
-                                   warm_marginals=warm_marginals)
+                                   warm_marginals=warm_marginals,
+                                   init_states=init_states)
             if first:
                 aux.warmup()  # compile the slow path off the first tick
             return self.main.num_variants + slot
+        if self.main.num_variants >= self._max_variants:
+            raise RuntimeError(f"variant limit {self._max_variants} reached")
         return self.main.add_variant(model, burn_sweeps=burn_sweeps,
-                                     warm_marginals=warm_marginals)
+                                     warm_marginals=warm_marginals,
+                                     init_states=init_states)
 
     def warmup(self):
         self.main.warmup()
@@ -297,6 +306,11 @@ class SplitChainGroup:
     def rb_accumulate(self) -> None:
         if self.aux is not None:
             self.aux.rb_accumulate()
+
+    def plain_slot_states(self) -> Optional[np.ndarray]:
+        """Transplant donor states come from the full-width main group
+        (see ChainGroup.plain_slot_states)."""
+        return self.main.plain_slot_states()
 
     # ---- estimation ------------------------------------------------------
     def collapsed_any(self) -> np.ndarray:

@@ -47,7 +47,7 @@ def suite_nets(res_dir: str):
 def run_one(res_dir: str, net: str, mode: str, secs: float, vchains: int,
             seed: int, log=lambda s: None, burnin: int = -1,
             cwin: int = 0, rb_mixture: bool = True,
-            trace_dir: str = "") -> dict:
+            trace_dir: str = "", budget: str = "sampling") -> dict:
     from grample_tpu.sampler.engine import Engine, EngineConfig
 
     spec = MODES[mode]
@@ -65,6 +65,7 @@ def run_one(res_dir: str, net: str, mode: str, secs: float, vchains: int,
         # growth, while a 128-slot restack uploads GBs of identical
         # encodings over the TPU tunnel before the run starts
         max_secs=secs * spec["secs_scale"],
+        budget=budget,
         seed=seed,
         burnin=burnin,
         converge_window=cwin,
@@ -138,7 +139,7 @@ def summarize(rows, out):
 
 
 def run_isolated(res_dir, net, modes, secs, vchains, seed, timeout,
-                 trace_dir: str = "") -> list:
+                 trace_dir: str = "", budget: str = "sampling") -> list:
     """All of one net's modes in a fresh subprocess (shared jax init,
     model load and compile caches): the tunneled TPU worker has been
     observed to crash after long multi-phase sessions, so a 60-run suite
@@ -158,7 +159,7 @@ def run_isolated(res_dir, net, modes, secs, vchains, seed, timeout,
             sys.executable, "-m", "grample_tpu.tools.experiments",
             "--res", res_dir, "--nets", net, "--modes", ",".join(missing),
             "--secs", str(secs), "--vchains", str(vchains),
-            "--seed", str(seed), "--one-shot",
+            "--seed", str(seed), "--one-shot", "--budget", budget,
         ]
         if trace_dir:
             cmd += ["--trace-dir", trace_dir]
@@ -174,7 +175,18 @@ def run_isolated(res_dir, net, modes, secs, vchains, seed, timeout,
                     got[r["mode"]] = r
             err = (proc.stderr or "").strip().splitlines()
             last = err[-1][:200] if err else f"exit {proc.returncode}"
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # completed modes already flushed their result line: harvest
+            # them so the retry only re-runs genuinely missing modes
+            # (ADVICE r4: discarding e.stdout re-ran finished modes into
+            # the same timeout and reported them all as errors)
+            out = e.stdout or b""
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
+            for line in out.splitlines():
+                if line.startswith(marker):
+                    r = json.loads(line[len(marker):])
+                    got[r["mode"]] = r
             last = f"timeout after {timeout}s"
     return [
         got.get(m, {"net": net, "mode": m, "error": last}) for m in modes
@@ -195,6 +207,9 @@ def main(argv=None) -> int:
                     help="run each (net, mode) in a fresh subprocess")
     ap.add_argument("--trace-dir", default="",
                     help="write per-run experiment trace files here")
+    ap.add_argument("--budget", default="sampling",
+                    choices=("sampling", "wall"),
+                    help="budget semantics passed to the engine")
     ap.add_argument("--one-shot", action="store_true",
                     help="internal: emit a single machine-readable result")
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -208,7 +223,8 @@ def main(argv=None) -> int:
         for net in nets:
             for mode in modes:
                 r = run_one(args.res, net, mode, args.secs, args.vchains,
-                            args.seed, log, trace_dir=args.trace_dir)
+                            args.seed, log, trace_dir=args.trace_dir,
+                            budget=args.budget)
                 print("EXPERIMENT-RESULT:" + json.dumps(r), flush=True)
         return 0
 
@@ -221,11 +237,12 @@ def main(argv=None) -> int:
             per_net = run_isolated(
                 args.res, net, modes, args.secs, args.vchains, args.seed,
                 timeout=len(modes) * 2 * args.secs + 900,
-                trace_dir=args.trace_dir)
+                trace_dir=args.trace_dir, budget=args.budget)
         else:
             per_net = [
                 run_one(args.res, net, mode, args.secs, args.vchains,
-                        args.seed, log, trace_dir=args.trace_dir)
+                        args.seed, log, trace_dir=args.trace_dir,
+                        budget=args.budget)
                 for mode in modes
             ]
         for r in per_net:
