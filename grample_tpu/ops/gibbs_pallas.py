@@ -195,16 +195,20 @@ def pallas_stack(encs, dims: Optional[Tuple[int, int, int, int]] = None) -> dict
     return {kk: np.stack(v) for kk, v in out.items()}
 
 
-def _vmem_estimate(caps, cb: int) -> int:
+def _vmem_estimate(caps, cb: int, fg: Optional[int] = None) -> int:
     """Rough VMEM bytes for one grid cell (working buffers + inputs).
 
-    Uses the padded ``adj_cap * group_cap`` row count — an upper bound
-    on the packed banks, so eligibility/block choice stay conservative.
-    """
+    By default uses the padded ``adj_cap * group_cap`` row count — an
+    upper bound on the packed banks, so eligibility/block choice stay
+    conservative.  ``fg`` overrides it with the ACTUAL packed bank rows
+    (``pal_bank_dims``) once encodings exist: skewed-incidence models
+    (Promedus: mean degree 1.4, adj_cap 6-8) pack 2-5x tighter than the
+    padded bound, flipping borderline caps into eligibility."""
     nvp, nslot = caps.num_rows, caps.num_slots
     nc, gg, ff = caps.color_cap, caps.group_cap, caps.adj_cap
     k, oa = caps.max_card, caps.oa_cap
-    fg = ff * gg
+    if fg is None:
+        fg = ff * gg
     const = nc * fg * (nvp + oa * max(k, 8)) * 4 + nc * max(k, 8) * gg * 4
     work = nvp * cb * 4 + 2 * k * nslot * cb * 4  # wstate + acc scratch
     temps = (3 + k) * fg * cb * 4  # base + select/exp temporaries (est.)
@@ -212,29 +216,42 @@ def _vmem_estimate(caps, cb: int) -> int:
     return const + work + temps + io
 
 
-def pallas_eligible(caps, platform: Optional[str] = None) -> bool:
-    """Can the fully-VMEM-resident kernel run this model?"""
+#: Correctness bound of the kernel's bf16 base matmul: local mixed-radix
+#: indices (and stride entries) up to 256 are bf16-exact.
+PAL_OA_MAX = 256
+
+
+def pallas_eligible(
+    caps, platform: Optional[str] = None, oa_limit: int = 32,
+    fg: Optional[int] = None,
+) -> bool:
+    """Can the fully-VMEM-resident kernel run this model?
+
+    ``oa_limit`` is the ECONOMIC gate on the select-chain table lookup
+    (O(OA) VPU passes per row): 32 by default, where the kernel beats
+    the XLA one-hot MXU path.  Callers may raise it up to
+    :data:`PAL_OA_MAX` (the bf16-exactness bound) when the XLA
+    alternative is worse anyway — the rnd/collapsed sampler does, whose
+    XLA configurations ran 50-250x below plain and carried every
+    observed TPU-worker crash class (r3-r5).  ``fg`` refines the VMEM
+    estimate with packed bank rows (see ``_vmem_estimate``)."""
     if platform is None:
         platform = jax.default_backend()
     return (
         platform == "tpu"
         and caps.sweep_mode == "matmul"
         and caps.gfac_cap == 0
-        # the kernel's table lookup is a select-chain unrolled over OA
-        # (O(OA) VPU passes per row): economical for the plain-caps
-        # domain (OA <= 32) but dominated by the XLA one-hot MXU path
-        # for dense-256 collapse caps — those route to the XLA sweep
-        and caps.oa_cap <= 32
+        and caps.oa_cap <= min(oa_limit, PAL_OA_MAX)
         and caps.max_card <= 16
         and caps.group_cap % 8 == 0
-        and _vmem_estimate(caps, pick_block(caps)) <= VMEM_BUDGET
+        and _vmem_estimate(caps, pick_block(caps, fg), fg) <= VMEM_BUDGET
     )
 
 
-def pick_block(caps) -> int:
+def pick_block(caps, fg: Optional[int] = None) -> int:
     """Chain-block width: biggest lane-multiple within the VMEM budget."""
     for cb in (2048, 1024, 512, 256, 128):
-        if _vmem_estimate(caps, cb) <= VMEM_BUDGET:
+        if _vmem_estimate(caps, cb, fg) <= VMEM_BUDGET:
             return cb
     return 128
 

@@ -134,6 +134,7 @@ class ChainGroup:
         collapse_headroom: bool = False,
         use_pallas: Optional[bool] = None,
         rb_mixture: bool = True,
+        pallas_oa_limit: int = 32,
     ):
         base_model.check()
         self.base = base_model
@@ -156,6 +157,11 @@ class ChainGroup:
         # (the sweep draws one uniform per site); deterministic per seed.
         self.key = jax.random.key(seed, impl="rbg")
         self._step = 0
+        #: economic OA bound for kernel eligibility (see pallas_eligible):
+        #: 32 for throughput groups; the rnd/collapsed engine raises it to
+        #: PAL_OA_MAX because its XLA alternative is both far slower and
+        #: the carrier of every observed TPU-worker crash class
+        self.pallas_oa_limit = int(pallas_oa_limit)
         self._refresh_pallas(use_pallas)
         self._want_pallas = use_pallas
 
@@ -227,7 +233,11 @@ class ChainGroup:
         if want is True and jax.default_backend() != "tpu" and 0 < local < block:
             block = local  # interpret mode: any positive lane width works
         auto = (
-            pallas_eligible(self.caps, platform="tpu" if want is True else None)
+            pallas_eligible(
+                self.caps,
+                platform="tpu" if want is True else None,
+                oa_limit=self.pallas_oa_limit,
+            )
             and local > 0
             and local % block == 0
         )
@@ -235,6 +245,38 @@ class ChainGroup:
         self.pal_block = block if self.use_pallas else 0
         self.pal_stack = None
         self.pal_dims = None
+
+    def _try_packed_pallas(self, padded) -> None:
+        """Second-chance eligibility with ACTUAL packed bank rows.
+
+        The caps-level VMEM estimate uses padded ``adj_cap * group_cap``
+        rows; once encodings exist, ``pal_bank_dims`` gives the real
+        packed row count (2-5x tighter on skewed-incidence nets), which
+        can flip a borderline model onto the kernel.  Called from
+        ``_restack`` when the padded estimate said no."""
+        want = self._want_pallas
+        if self.use_pallas or want is False:
+            return
+        local = self._local_chains()
+        if local <= 0:
+            return
+        dims = pal_bank_dims(padded)
+        g2, f2, g1, f1 = dims
+        fgp = f2 * g2 + f1 * g1
+        block = pick_block(self.caps, fgp)
+        if want is True and jax.default_backend() != "tpu" and 0 < local < block:
+            block = local
+        if (
+            pallas_eligible(
+                self.caps,
+                platform="tpu" if want is True else None,
+                oa_limit=self.pallas_oa_limit,
+                fg=fgp,
+            )
+            and local % block == 0
+        ):
+            self.use_pallas = True
+            self.pal_block = block
 
     def _encode_grown(self, model: DiscreteModel) -> tuple:
         """encode_model with caps growth; returns (enc, grew).
@@ -352,6 +394,8 @@ class ChainGroup:
         padded = list(self.encs) + [base_enc] * (self.slot_cap - len(self.encs))
         stack_np = stack_variants(padded[: self.slot_cap])
         self.stack = {k: jnp.asarray(v) for k, v in stack_np.items()}
+        if not self.use_pallas:
+            self._try_packed_pallas(padded[: self.slot_cap])
         if self.use_pallas:
             self.pal_dims = pal_bank_dims(padded[: self.slot_cap])
             self.pal_stack = {

@@ -534,8 +534,14 @@ class Engine:
         kw = {}
         if caps is not None:
             # exact pre-measured caps (rnd mode): headroom is pointless,
-            # the variant set is already known
+            # the variant set is already known.  Raise the kernel's
+            # economic OA gate to its correctness bound: the XLA
+            # alternative for collapsed groups is 50-250x slower AND the
+            # carrier of every observed TPU-worker crash class (r3-r5)
+            from grample_tpu.ops.gibbs_pallas import PAL_OA_MAX
+
             kw["caps"] = caps
+            kw["pallas_oa_limit"] = PAL_OA_MAX
         return self._group_factory(cfg)(
             model,
             chains_per_variant=cfg.chains_per_variant,

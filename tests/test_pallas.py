@@ -192,3 +192,44 @@ def test_pallas_evidence_pinned():
     halves = np.asarray(g.halves)[0]
     assert halves[:, :, 4].sum() == 0  # fixed vars never counted
     assert halves[:, :, 0].sum() == 0
+
+
+def test_pallas_wide_oa_vs_exact():
+    """Kernel correctness at OA > 32 (the rnd-mode relaxed gate): a
+    collapse variant whose replacement factor has 64-row local
+    incidences must converge to the exact marginals — the select-chain
+    lookup and bf16 base matmul are exact up to PAL_OA_MAX."""
+    from grample_tpu.pgm.discrete import DiscreteModel, Factor
+    from grample_tpu.pgm.encode import caps_for_variants, encode_model
+    from grample_tpu.sampler.collapse import collapse_var
+
+    rng = np.random.default_rng(3)
+    # star: center 0 with 7 binary leaves -> collapsing the center
+    # yields a 7-var clique factor (128 entries, oa 64 per incidence)
+    v = 8
+    factors = [Factor(f"u{i}", [i], rng.random(2) + 0.3) for i in range(v)]
+    factors += [
+        Factor(f"e{i}", [0, i], rng.random(4) + 0.3) for i in range(1, v)
+    ]
+    m = DiscreteModel(type="MARKOV", cards=[2] * v, factors=factors)
+    variant, _ = collapse_var(m, 0)
+    caps = caps_for_variants([variant], slot_hint=1)
+    assert caps.oa_cap > 32, "fixture must exercise the wide-OA path"
+    assert pallas_eligible(caps, platform="tpu", oa_limit=256)
+    assert not pallas_eligible(caps, platform="tpu")  # economic default
+
+    truth = exact_marginals(m)
+    g = ChainGroup(variant, chains_per_variant=64, converge_window=32,
+                   seed=5, caps=caps, use_pallas=True, pallas_oa_limit=256)
+    g.add_variant(variant)
+    assert g.use_pallas, "wide-OA caps must ride the kernel when forced"
+    g.burn(30)
+    for _ in range(6):
+        g.advance(32, defer=True)
+    g.flush()
+    est = g.merged_marginals()
+    est = est / est.sum(axis=1, keepdims=True)
+    free = variant.free_mask
+    h = hellinger(est, truth, m.cards)[free]
+    # 64 chains x 192 counted sweeps on a tree: tight convergence
+    assert h.max() < 0.05, h
