@@ -79,19 +79,35 @@ def adapt_step(
             raise ValueError(f"unknown adapt policy {policy!r}")
         targets = order[:take]
 
-    # Warm start by STATE TRANSPLANT from a plain slot when one exists:
-    # base-joint chain states are equilibrium samples of every collapsed
-    # variant's joint over the remaining vars, so the new variant starts
-    # equilibrated WITH the plain ensemble's mode diversity intact.
-    # Drawing each var independently from the merged marginal (the r4
-    # warm start) destroys mode correlations — the incoherent states
-    # quench into the dominant mode and the variant's Rao-Blackwell
-    # blanket distribution over-concentrates (Promedus_19 regression,
-    # VERDICT r4 weak #1).
+    # Warm-start policy follows the GROUP ARCHITECTURE (r5 measurement,
+    # results/ref300_r5.jsonl vs r4 results/ref300.jsonl):
+    #
+    # - "transplant" (SplitChainGroup): copy joint states from a plain
+    #   slot.  Aux collapse variants are count-weightless (256 chains vs
+    #   the main group's full-width slots), so ONLY their Rao-Blackwell
+    #   overrides matter — and those need the plain ensemble's mode
+    #   diversity: drawing each var independently from the merged
+    #   marginal destroys mode correlations, the incoherent states
+    #   quench into the dominant basin, and the RB blanket distribution
+    #   over-concentrates (Promedus_19 r4: collapsed cluster 303-305
+    #   sharpened into the wrong mode, max Hellinger 0.64 -> 0.77;
+    #   transplant fixed it to 0.62 and flipped the collapsed vars to a
+    #   net win).
+    #
+    # - "redraw" (full-width ChainGroup): draw each var independently
+    #   from the current merged estimate.  Full-width collapse variants
+    #   DOMINATE the merged counts (8x1024 chains vs 2x1024 plain on
+    #   Grids_13), and the redraw acts as a mean-field re-equilibration:
+    #   the re-initialized ensembles land closer to Boltzmann mode
+    #   weights than the drifted plain slots and pull every variable's
+    #   merged estimate toward truth (Grids_13 300 s: mean Hellinger
+    #   0.3057 with redraw vs 0.3751 with transplant, plain 0.3766).
     warm = None
     donor = None
     if warm_start:
-        donor = group.plain_slot_states()
+        policy = getattr(group, "adapt_init", "transplant")
+        if policy == "transplant":
+            donor = group.plain_slot_states()
         if donor is None:
             warm = norm_marginals(merged, base.cards)
 

@@ -122,6 +122,12 @@ def _is_compile_or_resource_error(e: Exception) -> bool:
 class ChainGroup:
     """All chains of a run: stacked variants × micro-chains on device."""
 
+    #: adapt_step warm-start policy (see sampler/adaptive.py): full-width
+    #: collapse variants dominate merged counts, and the independent
+    #: redraw acts as a mean-field re-equilibration that beats inheriting
+    #: the drifted plain ensemble (Grids_13 r5 measurement)
+    adapt_init = "redraw"
+
     def __init__(
         self,
         base_model: DiscreteModel,

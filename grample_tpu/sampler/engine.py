@@ -30,6 +30,11 @@ from grample_tpu.sampler.chains import MAX_VARIANTS, ChainGroup
 from grample_tpu.sampler.collapse import collapse_var, pick_random_collapsible
 from grample_tpu.uai import load_model, read_mar_file
 
+#: Max seconds of batched device work per engine tick (see the nwin
+#: computation): bounds the scoring/adapt/RB cadence when status output
+#: is quiet, balancing dispatch overhead against adaptation granularity.
+TICK_WORK_SECS = 30.0
+
 
 @dataclasses.dataclass
 class EngineConfig:
@@ -286,8 +291,18 @@ class Engine:
             if win_time is None:
                 nwin = 1
             else:
-                budget = min(cfg.status_secs, max(stop_time - time.time(), 0.25))
-                nwin = max(1, min(64, int(budget / max(win_time, 1e-4))))
+                # batch bound: at most ~status_secs of device work per
+                # tick, and never more than TICK_WORK_SECS even when the
+                # status cadence is quiet (acceptance runs set
+                # status_secs=1e9; the old flat 64-window cap gave
+                # Grids-class runs 160 s ticks — 2 adapt steps per 300 s
+                # run — while Promedus-class runs ticked every 10 s and
+                # paid the aux+adapt overhead 3x more often than needed)
+                budget = min(
+                    cfg.status_secs, TICK_WORK_SECS,
+                    max(stop_time - time.time(), 0.25),
+                )
+                nwin = max(1, min(1024, int(budget / max(win_time, 1e-4))))
             t_w0 = time.time()
             for _ in range(nwin):
                 group.advance(cw_sweeps, defer=True)

@@ -50,8 +50,12 @@ AUX_CHAINS = 256
 #: collapse variants the aux group will hold (bounds its device arrays)
 AUX_MAX_VARIANTS = 64
 
-#: sweeps the aux group advances per engine scoring tick (see module doc)
-AUX_TICK_SWEEPS = 128
+#: sweeps the aux group advances per engine scoring tick (see module
+#: doc).  64 resamples every free var 64 times between RB snapshots —
+#: ample decorrelation — at half the cost of r4's 128 (aux wall was 119 s
+#: of Promedus_19's 300 s budget, the bulk of the adaptive-vs-plain
+#: throughput gap, VERDICT r4 weak #2)
+AUX_TICK_SWEEPS = 64
 
 
 def aux_caps(base_model: DiscreteModel):
@@ -129,6 +133,12 @@ def aux_group_factory(max_variants: int = MAX_VARIANTS, rb_mixture: bool = True)
 class SplitChainGroup:
     """Duck-typed ChainGroup: plain slots on the fast path, collapse
     slots on the slow one.  See module doc."""
+
+    #: adapt_step warm-start policy (see sampler/adaptive.py): aux
+    #: collapse variants are count-weightless, only their RB overrides
+    #: matter, and those need the plain ensemble's mode diversity —
+    #: transplant joint states from a main slot (Promedus_19 r5 fix)
+    adapt_init = "transplant"
 
     def __init__(
         self,
