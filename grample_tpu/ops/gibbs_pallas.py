@@ -220,6 +220,11 @@ def _vmem_estimate(caps, cb: int, fg: Optional[int] = None) -> int:
 #: indices (and stride entries) up to 256 are bf16-exact.
 PAL_OA_MAX = 256
 
+#: OA at or below which the table-lookup select chain is fully unrolled
+#: (best codegen); above it a counted loop with dynamic VMEM indexing
+#: keeps the Mosaic program size bounded (see _make_kernel).
+PAL_OA_UNROLL = 32
+
 
 def pallas_eligible(
     caps, platform: Optional[str] = None, oa_limit: int = 32,
@@ -317,18 +322,40 @@ def _make_kernel(nc, g, oa, k, nvp, nslot, cb, banks, count: bool):
                     for bi, (fb, gb, _off) in enumerate(banks):
                         # select-chain lookup: base is a local mixed-
                         # radix index, always in [0, OA), so the last
-                        # row is the default and needs no comparison
+                        # row is the default and needs no comparison.
+                        # Small OA unrolls (fastest); large OA (the
+                        # rnd-mode relaxed gate, up to PAL_OA_MAX) uses
+                        # a counted loop with dynamic VMEM indexing —
+                        # an unrolled OA 128 x K 4 x NC 9 chain emits
+                        # ~9000 ops per sweep body and stalls Mosaic
+                        # compilation for tens of minutes (r5).
                         accv = jnp.broadcast_to(
                             lt_refs[bi][0, ci, oa - 1, kk, :].reshape(
                                 fb * gb, 1
                             ),
                             (fb * gb, cb),
                         )
-                        for o in range(oa - 1):
-                            ltc = lt_refs[bi][0, ci, o, kk, :].reshape(
-                                fb * gb, 1
-                            )
-                            accv = jnp.where(bases[bi] == float(o), ltc, accv)
+                        if oa <= PAL_OA_UNROLL:
+                            for o in range(oa - 1):
+                                ltc = lt_refs[bi][0, ci, o, kk, :].reshape(
+                                    fb * gb, 1
+                                )
+                                accv = jnp.where(
+                                    bases[bi] == float(o), ltc, accv
+                                )
+                        else:
+                            ref, base = lt_refs[bi], bases[bi]
+
+                            def sel(o, acc, ref=ref, base=base, ci=ci,
+                                    kk=kk, fb=fb, gb=gb):
+                                ltc = ref[0, ci, o, kk, :].reshape(
+                                    fb * gb, 1
+                                )
+                                return jnp.where(
+                                    base == o.astype(jnp.float32), ltc, acc
+                                )
+
+                            accv = lax.fori_loop(0, oa - 1, sel, accv)
                         parts.append(
                             accv.reshape(fb, gb, cb).sum(axis=0)  # [Gb, CB]
                         )
