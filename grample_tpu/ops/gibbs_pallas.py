@@ -253,9 +253,18 @@ def pallas_eligible(
     )
 
 
-def pick_block(caps, fg: Optional[int] = None) -> int:
-    """Chain-block width: biggest lane-multiple within the VMEM budget."""
+def pick_block(caps, fg: Optional[int] = None,
+               max_cb: Optional[int] = None) -> int:
+    """Chain-block width: biggest lane-multiple within the VMEM budget.
+
+    ``max_cb`` bounds the block by the caller's local chain width — a
+    block wider than the chains-per-variant can never divide it, and
+    until r5 that silently failed the ``local % block == 0`` eligibility
+    check for every adaptive group at 1024 chains/slot (block 2048),
+    demoting their whole run to the XLA sweep."""
     for cb in (2048, 1024, 512, 256, 128):
+        if max_cb is not None and cb > max_cb:
+            continue
         if _vmem_estimate(caps, cb, fg) <= VMEM_BUDGET:
             return cb
     return 128

@@ -114,7 +114,12 @@ def adapt_step(
     added = []
     for var in targets:
         variant, _exact = collapse_var(base, var)
-        group.add_variant(variant, burn_sweeps=ADAPT_BURN_SWEEPS,
+        group.add_variant(variant, burn_sweeps=0,
                           warm_marginals=warm, init_states=donor)
         added.append(var)
+    if added:
+        # one batched burn for the whole add set: per-add burns each
+        # advance EVERY active slot, so k adds cost k full-group
+        # dispatches for the same 2-sweep decorrelation
+        group.burn(ADAPT_BURN_SWEEPS)
     return added

@@ -235,7 +235,7 @@ class ChainGroup:
         import jax
 
         local = self._local_chains()
-        block = pick_block(self.caps)
+        block = pick_block(self.caps, max_cb=local if local > 0 else None)
         if want is True and jax.default_backend() != "tpu" and 0 < local < block:
             block = local  # interpret mode: any positive lane width works
         auto = (
@@ -269,7 +269,7 @@ class ChainGroup:
         dims = pal_bank_dims(padded)
         g2, f2, g1, f1 = dims
         fgp = f2 * g2 + f1 * g1
-        block = pick_block(self.caps, fgp)
+        block = pick_block(self.caps, fgp, max_cb=local)
         if want is True and jax.default_backend() != "tpu" and 0 < local < block:
             block = local
         if (
@@ -732,9 +732,15 @@ class ChainGroup:
                 self._rb_cond[key] = info
             infos.append(info)
             bmax = max(bmax, info[0].size)
-        n = len(targets)
-        slots = np.array([s for s, _ in targets], dtype=np.int32)
-        # sentinel column (stride 0) pads ragged blankets
+        # bucket-pad rows and blanket width to powers of two: the gather
+        # program then compiles O(log) times per run instead of once per
+        # adapt tick (n grows with every collapse; measured ~5 s compile
+        # per tick on Grids_13, 22% of the whole run)
+        n = _next_pow2(len(targets))
+        bmax = _next_pow2(bmax)
+        slots = np.zeros(n, dtype=np.int32)
+        slots[: len(targets)] = [s for s, _ in targets]
+        # sentinel column (stride 0) pads ragged blankets and pad rows
         rest = np.full((n, bmax), v, dtype=np.int32)
         strides = np.zeros((n, bmax), dtype=np.int32)
         for i, (r, s, _c) in enumerate(infos):
@@ -803,11 +809,16 @@ class ChainGroup:
         v = self.caps.num_vars
         if merged is None:
             merged = self.merged_marginals()
-        h = self.halves[:, :, :, :v, :]  # [Ncap, 2, C, V, K]
-        m_chains = self.slot_cap * self.cpv
+        # slice to the active-slot pow2 bucket: with a full-capacity
+        # reserve the PSRF would otherwise reduce over every reserved
+        # slot's (masked) halves — 3-60x the live data early in an
+        # adaptive run — while pow2 bucketing keeps recompiles O(log)
+        nact = min(self.slot_cap, _next_pow2(max(1, self.num_variants)))
+        h = self.halves[:nact, :, :, :v, :]  # [Nact, 2, C, V, K]
+        m_chains = nact * self.cpv
         h1 = h[:, 0].reshape(m_chains, v, self.kdim)
         h2 = h[:, 1].reshape(m_chains, v, self.kdim)
-        cmask = np.repeat(self._chain_mask(), self.cpv)
+        cmask = np.repeat(self._chain_mask()[:nact], self.cpv)
         converged = (self.base.fixed >= 0) | self.collapsed_any()
         vals = chain_convergence(
             h1,

@@ -239,7 +239,17 @@ class Engine:
                 raise ValueError(f"unknown sampler: {cfg.sampler}")
             group = self._make_group(cfg, model, cw_sweeps, seed, caps=caps)
             self.log(f"Creating chains and performing burn-in ({burn_sweeps} sweeps)")
-            group.reserve(max(n_slots, cfg.reserve_slots))
+            reserve = max(n_slots, cfg.reserve_slots)
+            if cfg.sampler == "adaptive" and cfg.reserve_slots == 0:
+                # full-capacity reservation when the device footprint is
+                # small: every pow2 slot growth otherwise restacks device
+                # arrays AND recompiles the sweep/PSRF/RB programs on the
+                # budget clock (measured 62% of a Grids_13 adaptive run).
+                # SplitChainGroup caps its own main reserve at 8, so this
+                # only sizes single-group (Grids-class) runs; the bytes
+                # gate keeps wide nets (Promedus-class vchains) lazy.
+                reserve = max(reserve, self._auto_reserve(cfg, group))
+            group.reserve(reserve)
             for slot in range(n_slots):
                 if prebuilt is None:
                     group.add_variant(model)
@@ -608,6 +618,31 @@ class Engine:
             return ShardedChainGroup(model, mesh=mesh, **kw)
 
         return make
+
+    @staticmethod
+    def _auto_reserve(cfg: EngineConfig, group) -> int:
+        """Slots to pre-reserve for an adaptive run (0 = stay lazy).
+
+        Estimates the full-capacity device footprint (stacked encodings
+        + state + window halves) from the group's caps; reserves
+        ``max_variants`` only when it fits comfortably in HBM, else 0
+        (lazy pow2 growth, the r4 behavior)."""
+        caps = getattr(group, "caps", None)
+        if caps is None:  # SplitChainGroup manages its own reserve
+            return 0
+        import numpy as np
+
+        from grample_tpu.pgm.encode import encode_model
+
+        try:
+            enc = encode_model(group.base, caps)
+        except ValueError:
+            return 0
+        enc_bytes = sum(np.asarray(v).nbytes for v in enc.arrays().values())
+        cpv, v1, k = group.cpv, caps.num_vars + 1, caps.max_card
+        per_slot = enc_bytes + cpv * v1 * 4 + 2 * cpv * v1 * k * 4
+        total = per_slot * cfg.max_variants
+        return cfg.max_variants if total <= (1 << 30) else 0
 
     @staticmethod
     def _want_split(cfg: EngineConfig, model) -> bool:

@@ -41,6 +41,7 @@ def main(argv=None) -> int:
     m = load_model(path, use_evidence=os.path.exists(path + ".evid"))
     g = ChainGroup(m, chains_per_variant=args.chains, converge_window=args.cw,
                    seed=1, collapse_headroom=True)
+    g.reserve(g.max_variants)  # the engine's auto-reserve (small nets)
     g.add_variant(m)
     g.add_variant(m)
     g.warmup()
