@@ -284,6 +284,17 @@ class ShardedChainGroup(ChainGroup):
                     init_states=None):
         slot = super().add_variant(model, burn_sweeps, warm_marginals,
                                    init_states)
+        self._repin()
+        return slot
+
+    def add_variants(self, models, burn_sweeps=0, warm_marginals=None,
+                     init_states=None):
+        slots = super().add_variants(models, burn_sweeps, warm_marginals,
+                                     init_states)
+        self._repin()
+        return slots
+
+    def _repin(self):
         # .at[].set on sharded arrays preserves sharding; re-pin anyway so
         # layout never silently degrades to single-device.
         self.stack = {k: self._shard(v, ENC_SPEC) for k, v in self.stack.items()}
@@ -292,7 +303,6 @@ class ShardedChainGroup(ChainGroup):
                 k: self._shard(v, ENC_SPEC) for k, v in self.pal_stack.items()
             }
         self.state = self._shard(self.state, STATE_SPEC)
-        return slot
 
     def restore_device_state(self, state, halves):
         """Checkpointed tensors come back sharded over the mesh."""

@@ -111,15 +111,10 @@ def adapt_step(
         if donor is None:
             warm = norm_marginals(merged, base.cards)
 
-    added = []
-    for var in targets:
-        variant, _exact = collapse_var(base, var)
-        group.add_variant(variant, burn_sweeps=0,
-                          warm_marginals=warm, init_states=donor)
-        added.append(var)
-    if added:
-        # one batched burn for the whole add set: per-add burns each
-        # advance EVERY active slot, so k adds cost k full-group
-        # dispatches for the same 2-sweep decorrelation
-        group.burn(ADAPT_BURN_SWEEPS)
-    return added
+    variants = [collapse_var(base, var)[0] for var in targets]
+    # batched add (one device update per stack key) + one batched burn:
+    # per-add paths copied every stack array per variant and ran a
+    # full-group 2-sweep dispatch per add
+    group.add_variants(variants, burn_sweeps=ADAPT_BURN_SWEEPS,
+                       warm_marginals=warm, init_states=donor)
+    return list(targets)

@@ -492,6 +492,80 @@ class ChainGroup:
             self.burn(burn_sweeps)
         return slot
 
+    def add_variants(
+        self,
+        models: List[DiscreteModel],
+        burn_sweeps: int = 0,
+        warm_marginals: Optional[np.ndarray] = None,
+        init_states: Optional[np.ndarray] = None,
+    ) -> List[int]:
+        """Batched :meth:`add_variant`: ONE device update per stack key
+        for the whole add set.  Per-add ``.at[slot].set`` copies every
+        [Ncap, ...] stack array per variant — an adapt step adding 4
+        variants paid 4 full-stack device copies (hundreds of MB on
+        reserved Grids-class groups) where one suffices."""
+        if not models:
+            return []
+        if len(models) == 1:
+            return [
+                self.add_variant(models[0], burn_sweeps, warm_marginals,
+                                 init_states)
+            ]
+        if self.num_variants + len(models) > self.max_variants:
+            raise RuntimeError(f"variant limit {self.max_variants} reached")
+        grew_any = False
+        new_encs: List[EncodedModel] = []
+        for mv in models:
+            enc, grew = self._encode_grown(mv)
+            if grew:
+                grew_any = True
+                # earlier batch members were encoded under the old caps
+                new_encs = [
+                    encode_model(m2, self.caps)
+                    for m2 in models[: len(new_encs)]
+                ]
+            new_encs.append(enc)
+        slot0 = len(self.variants)
+        slots = list(range(slot0, slot0 + len(models)))
+        self.variants.extend(models)
+        self.encs.extend(new_encs)
+        if grew_any or slots[-1] >= self.slot_cap:
+            self._restack(_next_pow2(slots[-1] + 1))
+        else:
+            idx = jnp.asarray(np.array(slots, dtype=np.int32))
+            per_key = {}
+            for enc in new_encs:
+                for k2, v2 in enc.arrays().items():
+                    per_key.setdefault(k2, []).append(v2)
+            self.stack = {
+                k2: self.stack[k2].at[idx].set(
+                    jnp.asarray(np.stack(per_key[k2]))
+                )
+                for k2 in self.stack
+            }
+            if self.use_pallas:
+                try:
+                    pal = pallas_stack(new_encs, self.pal_dims)
+                except PalDimsError:
+                    self._restack()
+                else:
+                    self.pal_stack = {
+                        k2: self.pal_stack[k2].at[idx].set(jnp.asarray(v2))
+                        for k2, v2 in pal.items()
+                    }
+        st = np.stack([
+            self._transplant_states(enc, np.asarray(init_states))
+            if init_states is not None
+            else self._host_init_state(enc, warm_marginals)
+            for enc in new_encs
+        ])
+        idx = jnp.asarray(np.array(slots, dtype=np.int32))
+        self.state = self.state.at[idx].set(jnp.asarray(st))
+        self.totals[slots] = 0.0
+        if burn_sweeps > 0:
+            self.burn(burn_sweeps)
+        return slots
+
     # ---- advancing -------------------------------------------------------
     def _chain_mask(self) -> np.ndarray:
         m = np.zeros(self.slot_cap, dtype=bool)

@@ -250,11 +250,10 @@ class Engine:
                 # gate keeps wide nets (Promedus-class vchains) lazy.
                 reserve = max(reserve, self._auto_reserve(cfg, group))
             group.reserve(reserve)
-            for slot in range(n_slots):
-                if prebuilt is None:
-                    group.add_variant(model)
-                else:
-                    group.add_variant(prebuilt[slot][1])
+            group.add_variants(
+                [model] * n_slots if prebuilt is None
+                else [mv for _, mv in prebuilt]
+            )
             group.warmup()  # wall mode: warmup runs ON the clock
             t_clock = t_start if cfg.budget == "wall" else time.time()
             if cfg.anneal_stages > 0:

@@ -273,6 +273,30 @@ class SplitChainGroup:
                                      warm_marginals=warm_marginals,
                                      init_states=init_states)
 
+    def add_variants(self, models, burn_sweeps: int = 0,
+                     warm_marginals=None, init_states=None) -> list:
+        """Batched adds; adapt_step only batches collapse variants, so
+        route the whole set to aux (mixed sets fall back per-variant)."""
+        v = self.base.num_vars
+        if not all(
+            (mv.collapsed[:v] & ~self.base.collapsed[:v]).any()
+            for mv in models
+        ):
+            return [
+                self.add_variant(mv, burn_sweeps, warm_marginals, init_states)
+                for mv in models
+            ]
+        aux = self._ensure_aux()
+        if aux.num_variants + len(models) > aux.max_variants:
+            raise RuntimeError(f"aux variant limit {aux.max_variants} reached")
+        first = aux.num_variants == 0
+        slots = aux.add_variants(models, burn_sweeps=burn_sweeps,
+                                 warm_marginals=warm_marginals,
+                                 init_states=init_states)
+        if first:
+            aux.warmup()
+        return [self.main.num_variants + s for s in slots]
+
     def warmup(self):
         self.main.warmup()
         if self.aux is not None and self.aux.slot_cap:

@@ -302,3 +302,34 @@ def test_adapt_step_transplants_from_plain_slot(rng):
     gs = SplitChainGroup(m, chains_per_variant=16, converge_window=8,
                          seed=13, aux_chains=8)
     assert gs.adapt_init == "transplant"
+
+
+def test_add_variants_batched_matches_sequential(rng):
+    """Batched add_variants must leave the group in the same logical
+    state as sequential add_variant calls (stack rows, state shapes,
+    merge semantics)."""
+    m = small_model(rng)
+    variant0, _ = collapse_var(m, 0)
+    variant2, _ = collapse_var(m, 2)
+
+    g1 = ChainGroup(m, chains_per_variant=16, converge_window=8, seed=7)
+    g1.reserve(4)
+    g1.add_variant(m)
+    g1.add_variant(variant0)
+    g1.add_variant(variant2)
+
+    g2 = ChainGroup(m, chains_per_variant=16, converge_window=8, seed=7)
+    g2.reserve(4)
+    slots = g2.add_variants([m, variant0, variant2])
+    assert slots == [0, 1, 2]
+    assert g2.num_variants == g1.num_variants == 3
+    for k in g1.stack:
+        np.testing.assert_array_equal(
+            np.asarray(g1.stack[k]), np.asarray(g2.stack[k]), err_msg=k
+        )
+    assert list(g2.collapsed_any()) == list(g1.collapsed_any())
+    # growth mid-batch: a variant that outgrows caps triggers a restack
+    g3 = ChainGroup(m, chains_per_variant=16, converge_window=8, seed=7)
+    g3.add_variants([m, variant0])
+    g3.advance(8)
+    assert np.isfinite(g3.merged_marginals()).all()
