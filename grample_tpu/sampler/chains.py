@@ -88,10 +88,16 @@ XLA_MAX_COUNTED_SWEEPS = 256
 @jax.jit
 def _rb_indices(state, slots, rest, strides):
     """Mixed-radix blanket indices for the RB mixture, one program for
-    every collapsed (slot, var): state [N, C, V+1], slots [n], rest/
-    strides [n, B] (sentinel-padded, stride 0) → idx [n, C] int32."""
-    st = state[slots]  # [n, C, V+1]
-    g = jnp.take_along_axis(st, rest[:, None, :], axis=2)  # [n, C, B]
+    every snapshot (slot, var) pair: state [N, C, V+1], slots [n], rest/
+    strides [n, B] (sentinel-padded, stride 0) → idx [n, C] int32.
+
+    One fused gather straight to [n, C, B]: the earlier ``state[slots]``
+    form materialized an [n, C, V+1] intermediate — ~0.5 GB once
+    plain-slot donor rows joined the pair list."""
+    c = state.shape[1]
+    g = state[
+        slots[:, None, None], jnp.arange(c)[None, :, None], rest[:, None, :]
+    ]  # [n, C, B]
     return (g * strides[:, None, :]).sum(axis=2)
 
 
@@ -185,11 +191,24 @@ class ChainGroup:
         # many advance windows without a host sync per window
         self._pending: List[tuple] = []
         # Rao-Blackwell mixture state for collapsed vars, keyed (slot, var):
-        # cached conditional tables, and running sums of snapshot estimates
+        # cached conditional tables (keyed by var — the base-model
+        # conditional is slot-independent), and running sums of snapshot
+        # estimates from each collapsing variant's own chains
         self.rb_mixture = bool(rb_mixture)
         self._rb_cond: dict = {}
         self._rb_sum: dict = {}
         self._rb_n: dict = {}
+        # plain-slot donor snapshots, keyed by var: base-model chains
+        # (full width, fast path) also sample every collapsed var's
+        # blanket, so averaging the exact base conditional over THEIR
+        # states is an equally valid RB mixture — and it tracks the
+        # live ensemble instead of a reduced-width collapse variant
+        # (r5: Promedus_19 aux estimates lagged the main drift and
+        # any-collapsed-wins locked the worse value in).  Sums are
+        # chain-count weighted so wide donors dominate narrow ones.
+        self._rbp_sum: dict = {}
+        self._rbp_w: dict = {}
+        self._rbp_snaps: dict = {}
 
     # ---- capacity management --------------------------------------------
     @property
@@ -789,31 +808,84 @@ class ChainGroup:
             return
         v = self.caps.num_vars
         base_col = self.base.collapsed[:v]
-        targets = []
+        own = []
+        col_any = np.zeros(v, dtype=bool)
         for slot, mv in enumerate(self.variants):
-            for var in np.nonzero(mv.collapsed[:v] & ~base_col)[0]:
-                targets.append((slot, int(var)))
-        if not targets:
+            extra = mv.collapsed[:v] & ~base_col
+            col_any |= extra
+            for var in np.nonzero(extra)[0]:
+                own.append((slot, int(var)))
+        if not own:
             return
+        # plain-slot donors: every base-model slot snapshots every
+        # collapsed var's conditional (see the _rbp_* field comment)
+        plain_slots = [
+            s for s, mv in enumerate(self.variants)
+            if not (mv.collapsed[:v] & ~base_col).any()
+        ]
+        donors = [
+            (p, int(cv)) for cv in np.nonzero(col_any)[0] for p in plain_slots
+        ]
+        probs = self._rb_snapshot(self.state, own + donors)
+        for key, pr in zip(own, probs[: len(own)]):
+            if key in self._rb_sum:
+                self._rb_sum[key] += pr
+                self._rb_n[key] += 1
+            else:
+                self._rb_sum[key] = pr
+                self._rb_n[key] = 1
+        for (_p, var), pr in zip(donors, probs[len(own):]):
+            self._rbp_accum(var, pr, self.cpv)
+
+    def rb_accumulate_external(self, states, chains_per_slot: int,
+                               n_slots: int = 1) -> None:
+        """Accumulate plain-slot donor snapshots from ANOTHER group's
+        base-model chain states (``states [N>=n_slots, C, V+1]`` on
+        device).  The split group routes its full-width main slots here
+        so the aux group's collapsed vars ride the fast ensemble."""
+        if not self.rb_mixture or self.num_variants == 0:
+            return
+        v = self.caps.num_vars
+        col_vars = np.nonzero(self.collapsed_any() & ~self.base.collapsed[:v])[0]
+        pairs = [(s, int(cv)) for cv in col_vars for s in range(n_slots)]
+        if not pairs:
+            return
+        for (_s, var), pr in zip(pairs, self._rb_snapshot(states, pairs)):
+            self._rbp_accum(var, pr, chains_per_slot)
+
+    def _rbp_accum(self, var: int, probs: np.ndarray, weight: float):
+        if var in self._rbp_sum:
+            self._rbp_sum[var] += probs * weight
+            self._rbp_w[var] += weight
+            self._rbp_snaps[var] += 1
+        else:
+            self._rbp_sum[var] = probs * weight
+            self._rbp_w[var] = float(weight)
+            self._rbp_snaps[var] = 1
+
+    def _rb_snapshot(self, states, pairs) -> List[np.ndarray]:
+        """One RB snapshot per (state-slot, var) pair: the normalized
+        base conditional of ``var`` averaged over that slot's chains."""
         from grample_tpu.sampler.collapse import collapse_conditional
 
+        v = self.caps.num_vars
         infos = []
         bmax = 1
-        for key in targets:
-            info = self._rb_cond.get(key)
+        for _slot, var in pairs:
+            info = self._rb_cond.get(var)
             if info is None:
-                info = collapse_conditional(self.base, key[1])
-                self._rb_cond[key] = info
+                info = collapse_conditional(self.base, var)
+                self._rb_cond[var] = info
             infos.append(info)
             bmax = max(bmax, info[0].size)
         # bucket-pad rows and blanket width to powers of two: the gather
         # program then compiles O(log) times per run instead of once per
         # adapt tick (n grows with every collapse; measured ~5 s compile
         # per tick on Grids_13, 22% of the whole run)
-        n = _next_pow2(len(targets))
+        n = _next_pow2(len(pairs))
         bmax = _next_pow2(bmax)
         slots = np.zeros(n, dtype=np.int32)
-        slots[: len(targets)] = [s for s, _ in targets]
+        slots[: len(pairs)] = [s for s, _ in pairs]
         # sentinel column (stride 0) pads ragged blankets and pad rows
         rest = np.full((n, bmax), v, dtype=np.int32)
         strides = np.zeros((n, bmax), dtype=np.int32)
@@ -822,21 +894,17 @@ class ChainGroup:
             strides[i, : r.size] = s
         idx = np.asarray(
             _rb_indices(
-                self.state,
+                states,
                 jnp.asarray(slots),
                 jnp.asarray(rest),
                 jnp.asarray(strides),
             )
         )
-        for key, (_r, _s, cond), row in zip(targets, infos, idx):
+        out = []
+        for (_r, _s, cond), row in zip(infos, idx):
             counts = np.bincount(row, minlength=cond.shape[0]).astype(np.float64)
-            probs = counts @ cond / counts.sum()
-            if key in self._rb_sum:
-                self._rb_sum[key] += probs
-                self._rb_n[key] += 1
-            else:
-                self._rb_sum[key] = probs
-                self._rb_n[key] = 1
+            out.append(counts @ cond / counts.sum())
+        return out
 
     def collapsed_any(self) -> np.ndarray:
         """[V] bool: collapsed in any active variant."""
@@ -869,9 +937,25 @@ class ChainGroup:
         for slot, mv in enumerate(self.variants):
             for var in np.nonzero(mv.collapsed[:v] & ~seen)[0]:
                 merged[var] = 0.0
-                nrb = self._rb_n.get((slot, int(var)), 0)
-                if self.rb_mixture and nrb >= RB_MIN_SNAPSHOTS:
-                    est = self._rb_sum[(slot, int(var))] / nrb
+                var_i = int(var)
+                nrb = self._rb_n.get((slot, var_i), 0)
+                psn = self._rbp_snaps.get(var_i, 0)
+                have_own = self.rb_mixture and nrb >= RB_MIN_SNAPSHOTS
+                have_plain = self.rb_mixture and psn >= RB_MIN_SNAPSHOTS
+                if have_own or have_plain:
+                    # chain-count-weighted blend of the variant's own
+                    # snapshots and the plain-slot donor snapshots —
+                    # both converge to the true marginal; the weights
+                    # let the statistically heavier source dominate
+                    num, den = 0.0, 0.0
+                    if have_own:
+                        w = nrb * self.cpv
+                        num = self._rb_sum[(slot, var_i)] / nrb * w
+                        den = w
+                    if have_plain:
+                        num = num + self._rbp_sum[var_i]
+                        den = den + self._rbp_w[var_i]
+                    est = num / den
                     merged[var, : est.size] = est
                 else:
                     merged[var, : mv.marginals.shape[1]] = mv.marginals[var]

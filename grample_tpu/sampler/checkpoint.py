@@ -118,6 +118,21 @@ def _save_one(path: str, group: ChainGroup, cfg=None, runtime: float = 0.0,
         arrays["rb_ns"] = np.array(
             [group._rb_n[k] for k in rb_keys], dtype=np.int64
         )
+    # plain-slot donor sums (chain-count weighted, keyed by var)
+    rbp_keys = sorted(group._rbp_sum)
+    if rbp_keys:
+        arrays["rbp_vars"] = np.array(rbp_keys, dtype=np.int64)
+        kmax = max(group._rbp_sum[k].size for k in rbp_keys)
+        sums = np.zeros((len(rbp_keys), kmax), dtype=np.float64)
+        for i, k in enumerate(rbp_keys):
+            sums[i, : group._rbp_sum[k].size] = group._rbp_sum[k]
+        arrays["rbp_sums"] = sums
+        arrays["rbp_ws"] = np.array(
+            [group._rbp_w[k] for k in rbp_keys], dtype=np.float64
+        )
+        arrays["rbp_snaps"] = np.array(
+            [group._rbp_snaps[k] for k in rbp_keys], dtype=np.int64
+        )
     fd, tmp = tempfile.mkstemp(
         suffix=".npz", dir=os.path.dirname(os.path.abspath(path)) or "."
     )
@@ -228,6 +243,15 @@ def _load_one(
             card = int(base_model.cards[int(var)])
             group._rb_sum[(int(slot), int(var))] = np.array(s[:card])
             group._rb_n[(int(slot), int(var))] = int(cnt)
+    if "rbp_vars" in data:
+        for var, s, w, cnt in zip(
+            data["rbp_vars"], data["rbp_sums"], data["rbp_ws"],
+            data["rbp_snaps"]
+        ):
+            card = int(base_model.cards[int(var)])
+            group._rbp_sum[int(var)] = np.array(s[:card])
+            group._rbp_w[int(var)] = float(w)
+            group._rbp_snaps[int(var)] = int(cnt)
     return group, meta
 
 

@@ -338,8 +338,21 @@ class SplitChainGroup:
         self._advance_aux()
 
     def rb_accumulate(self) -> None:
-        if self.aux is not None:
-            self.aux.rb_accumulate()
+        if self.aux is None or self.aux.num_variants == 0:
+            return
+        self.aux.rb_accumulate()
+        # plain-slot donor snapshots from the full-width main group:
+        # the aux variants advance AUX_TICK_SWEEPS per tick at AUX_CHAINS
+        # width, so their own RB mixtures lag the live ensemble badly on
+        # slow-drifting nets (r5: Promedus_19's stuck cluster) — the main
+        # slots sample the same blankets at full Pallas speed and their
+        # chain-count weight dominates the blend (see ChainGroup.
+        # rb_accumulate_external / _rbp_accum)
+        if self.main.num_variants and self.main.state is not None:
+            self.aux.rb_accumulate_external(
+                self.main.state, self.main.cpv,
+                n_slots=self.main.num_variants,
+            )
 
     def plain_slot_states(self) -> Optional[np.ndarray]:
         """Transplant donor states come from the full-width main group

@@ -168,6 +168,62 @@ def test_rb_mixture_beats_static_collapse(rng):
     np.testing.assert_allclose(est_static[1, :2], static, rtol=1e-12)
 
 
+def test_rb_plain_slot_donors(rng):
+    """Plain base-model slots donate RB snapshots for every collapsed
+    var: the merged estimate is the chain-count-weighted blend of the
+    collapsing variant's own mixture and the donors', and it recovers
+    the true marginal (kelly19a estimator over the live ensemble)."""
+    f0 = Factor("f0", [0, 1], rng.random(4) + 0.1)
+    f1 = Factor("f1", [1, 2], rng.random(6) + 0.1)
+    f2 = Factor("f2", [0, 2], rng.random(6) + 0.1)
+    m = DiscreteModel(type="MARKOV", cards=[2, 2, 3], factors=[f0, f1, f2])
+    truth = exact_marginals(m)
+    variant, _static = collapse_var(m, 1)
+    g = ChainGroup(m, chains_per_variant=256, converge_window=32, seed=31)
+    g.add_variant(m)  # plain donor slot
+    g.add_variant(variant)  # collapsing slot
+    g.burn(50)
+    for _ in range(8):
+        g.advance(32)
+        g.rb_accumulate()
+    assert g._rbp_snaps.get(1) == 8
+    assert g._rbp_w[1] == 8 * g.cpv
+    key = (1, 1)
+    own_w = g._rb_n[key] * g.cpv
+    want = (g._rb_sum[key] / g._rb_n[key] * own_w + g._rbp_sum[1]) / (
+        own_w + g._rbp_w[1]
+    )
+    est = g.merged_marginals()[1, :2]
+    np.testing.assert_allclose(est, want, rtol=1e-9)
+    assert np.abs(est / est.sum() - truth[1, :2]).max() < 0.02
+
+
+def test_split_rb_main_donors(rng):
+    """SplitChainGroup feeds full-width main-group states into the aux
+    RB blend (rb_accumulate_external), so collapsed vars track the fast
+    ensemble instead of only the reduced-width aux chains."""
+    from grample_tpu.sampler.split import SplitChainGroup
+
+    m = small_model(rng)
+    truth = exact_marginals(m)
+    g = SplitChainGroup(
+        m, chains_per_variant=128, converge_window=16, seed=7, aux_chains=16
+    )
+    g.add_variant(m)
+    g.add_variant(m)
+    variant, _ = collapse_var(m, 2)
+    g.add_variant(variant)
+    g.burn(30)
+    for _ in range(6):
+        g.advance(16)
+        g.rb_accumulate()
+    assert g.aux._rbp_snaps.get(2) == 12  # ticks x main slots
+    assert g.aux._rbp_w[2] == 6 * 2 * 128  # ticks x main slots x width
+    est = g.merged_marginals()[2, :2]
+    est = est / est.sum()
+    assert np.abs(est - truth[2, :2]).max() < 0.05
+
+
 def test_burn_annealed_neutral_and_converges(rng):
     """Tempered burn-in must restore the untempered stacks bit-for-bit,
     count its sweeps, and leave chains sampling the correct posterior."""
@@ -197,17 +253,23 @@ def test_rb_state_checkpoint_roundtrip(rng, tmp_path):
     m = DiscreteModel(type="MARKOV", cards=[2, 2, 3], factors=[f0, f1])
     variant, _ = collapse_var(m, 1)
     g = ChainGroup(m, chains_per_variant=32, converge_window=16, seed=3)
+    g.add_variant(m)  # plain slot: populates the donor accumulators too
     g.add_variant(variant)
     g.burn(10)
     g.advance(16)
     g.rb_accumulate()
     g.rb_accumulate()
+    assert g._rbp_snaps.get(1) == 2
     path = str(tmp_path / "rb.npz")
     save_checkpoint(path, g)
     g2, _ = load_checkpoint(path, m)
     assert g2._rb_n == g._rb_n
     for k in g._rb_sum:
         np.testing.assert_allclose(g2._rb_sum[k], g._rb_sum[k], rtol=1e-12)
+    assert g2._rbp_snaps == g._rbp_snaps
+    assert g2._rbp_w == g._rbp_w
+    for k in g._rbp_sum:
+        np.testing.assert_allclose(g2._rbp_sum[k], g._rbp_sum[k], rtol=1e-12)
     np.testing.assert_allclose(
         g2.merged_marginals(), g.merged_marginals(), rtol=1e-12
     )
