@@ -256,6 +256,11 @@ class Engine:
             )
             group.warmup()  # wall mode: warmup runs ON the clock
             t_clock = t_start if cfg.budget == "wall" else time.time()
+            if cfg.sampler == "adaptive" and hasattr(group, "prewarm_aux"):
+                # build + compile the aux (collapse) group concurrently
+                # with burn-in and early sampling, instead of paying
+                # ~40 s at the first adapt step (see split.prewarm_aux)
+                group.prewarm_aux()
             if cfg.anneal_stages > 0:
                 group.burn_annealed(burn_sweeps, cfg.anneal_stages)
             else:

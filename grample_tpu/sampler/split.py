@@ -173,6 +173,8 @@ class SplitChainGroup:
             rb_mixture=rb_mixture,
         )
         self.aux: Optional[ChainGroup] = _aux
+        self._aux_thread = None
+        self._aux_prebuilt: Optional[ChainGroup] = None
 
     # ---- aggregate views -------------------------------------------------
     @property
@@ -219,22 +221,63 @@ class SplitChainGroup:
         return COLLAPSE_OA_DENSE_CAP
 
     # ---- capacity / lifecycle -------------------------------------------
+    def _build_aux(self) -> ChainGroup:
+        aux = aux_group_factory(
+            self._max_variants, self.rb_mixture
+        )(
+            self.base,
+            chains_per_variant=self.aux_cpv,
+            converge_window=self.cw,
+            seed=self.seed + 104729,
+        )
+        # pre-size 8 slots: the chunked advance compiles per chunk
+        # shape (min(CHUNK_SLOTS, slot_cap)), so lazy pow2 growth
+        # from 1 would compile chunk widths 1, 2, 4, 8 — four pairs
+        # of programs on the budget clock.  Aux slots are narrow
+        # (AUX_CHAINS wide), so the eager restack uploads little.
+        aux.reserve(8)
+        return aux
+
+    def prewarm_aux(self) -> None:
+        """Build and compile the aux group in a background thread.
+
+        An adaptive run WILL create the aux group at its first adapt
+        step, and doing it there costs ~40 s of budget clock on
+        Promedus-class nets (caps probe + device alloc + both sweep
+        compiles, measured r5).  The chunked advance's shape is fixed by
+        ``reserve(8)`` (chunk = min(CHUNK_SLOTS, slot_cap)), so a
+        zero-variant ``warmup()`` compiles the exact programs every
+        later state uses — all of it off the critical path while the
+        main group burns in and samples."""
+        import threading
+
+        if self.aux is not None or getattr(self, "_aux_thread", None):
+            return
+
+        def work():
+            try:
+                aux = self._build_aux()
+                aux.warmup()
+                self._aux_prebuilt = aux
+            except Exception:
+                # creation retries synchronously in _ensure_aux; the
+                # prewarm is purely an optimization
+                self._aux_prebuilt = None
+
+        self._aux_prebuilt = None
+        self._aux_thread = threading.Thread(target=work, daemon=True)
+        self._aux_thread.start()
+
     def _ensure_aux(self) -> ChainGroup:
         if self.aux is None:
-            self.aux = aux_group_factory(
-                self._max_variants, self.rb_mixture
-            )(
-                self.base,
-                chains_per_variant=self.aux_cpv,
-                converge_window=self.cw,
-                seed=self.seed + 104729,
-            )
-            # pre-size 8 slots: the chunked advance compiles per chunk
-            # shape (min(CHUNK_SLOTS, slot_cap)), so lazy pow2 growth
-            # from 1 would compile chunk widths 1, 2, 4, 8 — four pairs
-            # of programs on the budget clock.  Aux slots are narrow
-            # (AUX_CHAINS wide), so the eager restack uploads little.
-            self.aux.reserve(8)
+            th = getattr(self, "_aux_thread", None)
+            if th is not None:
+                th.join()
+                self._aux_thread = None
+                self.aux = self._aux_prebuilt
+                self._aux_prebuilt = None
+            if self.aux is None:
+                self.aux = self._build_aux()
         return self.aux
 
     def reserve(self, n_slots: int):
@@ -275,13 +318,26 @@ class SplitChainGroup:
 
     def add_variants(self, models, burn_sweeps: int = 0,
                      warm_marginals=None, init_states=None) -> list:
-        """Batched adds; adapt_step only batches collapse variants, so
-        route the whole set to aux (mixed sets fall back per-variant)."""
+        """Batched adds: all-plain sets go to main in ONE batched call
+        (per-variant adds restack and recompile device updates each
+        time — 67 s vs 7 s for the 2 reference starting slots on
+        Promedus_19, r5), all-collapse sets to aux; mixed sets fall
+        back per-variant."""
         v = self.base.num_vars
-        if not all(
-            (mv.collapsed[:v] & ~self.base.collapsed[:v]).any()
+        newly = [
+            bool((mv.collapsed[:v] & ~self.base.collapsed[:v]).any())
             for mv in models
-        ):
+        ]
+        if not any(newly):
+            if self.main.num_variants + len(models) > self._max_variants:
+                raise RuntimeError(
+                    f"variant limit {self._max_variants} reached"
+                )
+            return self.main.add_variants(
+                models, burn_sweeps=burn_sweeps,
+                warm_marginals=warm_marginals, init_states=init_states,
+            )
+        if not all(newly):
             return [
                 self.add_variant(mv, burn_sweeps, warm_marginals, init_states)
                 for mv in models
