@@ -117,6 +117,7 @@ class RunResult:
     convergence: Optional[Dict[str, np.ndarray]] = None
     samples_per_sec: float = 0.0
     aux_secs: float = 0.0  # split execution: wall spent on the aux group
+    pallas: bool = False  # throughput path ran the Pallas kernel
 
 
 class Engine:
@@ -257,9 +258,11 @@ class Engine:
             group.warmup()  # wall mode: warmup runs ON the clock
             t_clock = t_start if cfg.budget == "wall" else time.time()
             if cfg.sampler == "adaptive" and hasattr(group, "prewarm_aux"):
-                # build + compile the aux (collapse) group concurrently
-                # with burn-in and early sampling, instead of paying
-                # ~40 s at the first adapt step (see split.prewarm_aux)
+                # background aux build+compile overlaps burn-in and early
+                # sampling.  Strictly AFTER the main warmup: concurrent
+                # Pallas compiles crash the tunneled compile helper
+                # (HTTP 500, observed r5), demoting whichever kernel
+                # loses the race to XLA for the whole run.
                 group.prewarm_aux()
             if cfg.anneal_stages > 0:
                 group.burn_annealed(burn_sweeps, cfg.anneal_stages)
@@ -365,7 +368,9 @@ class Engine:
             if keep_adapting and now > no_adapt_time:
                 self.log("STOPPING ADAPTATION")
                 keep_adapting = False
-            if keep_working and keep_adapting:
+            if keep_working and keep_adapting and getattr(
+                group, "adapt_ready", lambda: True
+            )():
                 t_adapt = time.time()
                 added = adapt_step(
                     group, cfg.chain_adds, measure=cfg.measure,
@@ -399,6 +404,8 @@ class Engine:
 
         # ---- final ------------------------------------------------------
         runtime = time.time() - t_clock
+        if hasattr(group, "join_prewarm"):
+            group.join_prewarm()  # never exit with a compile thread live
         merged = group.merged_marginals()
         final = norm_marginals(merged, model.cards)
         self.log("DONE")
@@ -414,6 +421,7 @@ class Engine:
             collapsed=sorted(int(x) for x in np.nonzero(group.collapsed_any())[0]),
             samples_per_sec=group.total_samples / max(runtime, 1e-9),
             aux_secs=float(getattr(group, "aux_secs", 0.0)),
+            pallas=bool(getattr(group, "use_pallas", False)),
         )
 
         if solution is not None:

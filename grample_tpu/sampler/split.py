@@ -54,8 +54,68 @@ AUX_MAX_VARIANTS = 64
 #: doc).  64 resamples every free var 64 times between RB snapshots —
 #: ample decorrelation — at half the cost of r4's 128 (aux wall was 119 s
 #: of Promedus_19's 300 s budget, the bulk of the adaptive-vs-plain
-#: throughput gap, VERDICT r4 weak #2)
+#: throughput gap, VERDICT r4 weak #2).  The starting value only: each
+#: flush re-sizes the next aux advance to AUX_TICK_BUDGET_SECS from the
+#: measured rate (a wide Pallas aux covers a full window in ~3 s; the
+#: legacy XLA aux stays at the floor).
 AUX_TICK_SWEEPS = 64
+
+#: wall seconds of aux advance per engine tick the split group aims for
+AUX_TICK_BUDGET_SECS = 3.0
+
+#: conditioning-set outcome bound for the WIDE aux pool: candidates with
+#: prod(cards[blanket minus var]) above this are not adaptively
+#: collapsible when the wide tier is active (the kernel's select chain
+#: stays cheap and the pooled caps stay VMEM-eligible)
+PAL_AUX_OA_LIM = 32
+
+
+def wide_aux_spec(base_model: DiscreteModel):
+    """Exact pooled caps for a FULL-WIDTH Pallas aux group, or None.
+
+    The r5 rnd work showed collapse variants run at e9 site-samples/s on
+    the wide-OA Pallas kernel when their caps are measured from the
+    actual variant set instead of generic collapse headroom (measured
+    Promedus_19: 3.5e9 for 8 full-width variants vs 1.5e8 on the XLA
+    path — and the narrow 256-chain XLA aux was the reason collapsed
+    vars lagged the live ensemble).  Pool every collapse candidate with
+    conditioning set <= PAL_AUX_OA_LIM outcomes, take union caps over
+    ALL of them (so any later adapt pick encodes without caps growth),
+    and accept only if the kernel is eligible with the packed-bank row
+    count measured over every candidate's encoding."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    import numpy as np
+
+    from grample_tpu.ops.gibbs_pallas import (
+        PAL_OA_MAX,
+        pal_bank_dims,
+        pallas_eligible,
+    )
+    from grample_tpu.pgm.encode import caps_for_variants, encode_model
+    from grample_tpu.sampler.collapse import collapse_var, is_collapsible
+
+    blankets = base_model.blankets()
+    variants = []
+    for v in range(base_model.num_vars):
+        if is_collapsible(
+            base_model, v, blankets[v], oa_cap=PAL_AUX_OA_LIM
+        ):
+            variants.append(collapse_var(base_model, v)[0])
+    if not variants:
+        return None
+    try:
+        caps = caps_for_variants(variants, slot_hint=8)
+        encs = [encode_model(mv, caps) for mv in variants]
+        g2, f2, g1, f1 = pal_bank_dims(encs)
+        fg = g2 * f2 + g1 * f1
+    except Exception:
+        return None
+    if not pallas_eligible(caps, oa_limit=PAL_OA_MAX, fg=fg):
+        return None
+    return caps
 
 
 def aux_caps(base_model: DiscreteModel):
@@ -117,14 +177,24 @@ def aux_group_factory(max_variants: int = MAX_VARIANTS, rb_mixture: bool = True)
     """
 
     def make(model, chains_per_variant, converge_window, seed, **_kw):
+        kw = dict(caps=aux_caps(model))
+        if chains_per_variant > AUX_CHAINS:
+            # a wide-aux snapshot (aux cpv = main cpv): rebuild with the
+            # pooled wide caps so resume restores the Pallas tier, not a
+            # legacy rowgather group re-encoding the same variants
+            from grample_tpu.ops.gibbs_pallas import PAL_OA_MAX
+
+            spec = wide_aux_spec(model)
+            if spec is not None:
+                kw = dict(caps=spec, pallas_oa_limit=PAL_OA_MAX)
         return ChainGroup(
             model,
             chains_per_variant=chains_per_variant,
             converge_window=converge_window,
             seed=seed,
-            caps=aux_caps(model),
             max_variants=min(max_variants, AUX_MAX_VARIANTS),
             rb_mixture=rb_mixture,
+            **kw,
         )
 
     return make
@@ -175,6 +245,13 @@ class SplitChainGroup:
         self.aux: Optional[ChainGroup] = _aux
         self._aux_thread = None
         self._aux_prebuilt: Optional[ChainGroup] = None
+        # wide tier state: the adapt candidate guard (None until the aux
+        # build decides which tier runs) and the measured-rate aux sweep
+        # count (see _advance_aux)
+        self._aux_oa_cap: Optional[int] = None
+        self._aux_sweeps = AUX_TICK_SWEEPS
+        if _aux is not None and _aux.cpv > AUX_CHAINS:
+            self._aux_oa_cap = PAL_AUX_OA_LIM
 
     # ---- aggregate views -------------------------------------------------
     @property
@@ -212,16 +289,66 @@ class SplitChainGroup:
         return self.main.slot_cap + (self.aux.slot_cap if self.aux else 0)
 
     @property
+    def use_pallas(self) -> bool:
+        """The throughput path's kernel flag (observability: result rows
+        record it so an XLA demotion is visible in committed artifacts)."""
+        return bool(self.main.use_pallas)
+
+    @property
     def collapse_oa_cap(self) -> int:
-        """Candidate guard bound for adapt_step (see ChainGroup)."""
+        """Candidate guard bound for adapt_step (see ChainGroup): set by
+        whichever aux tier was built (PAL_AUX_OA_LIM for the wide Pallas
+        tier, the dense cap for the legacy narrow one).  adapt_step only
+        runs once the aux build has decided (see adapt_ready)."""
+        if self._aux_oa_cap is not None:
+            return self._aux_oa_cap
         if self.aux is not None:
             return self.aux.caps.oa_dense_cap
         from grample_tpu.pgm.encode import COLLAPSE_OA_DENSE_CAP
 
         return COLLAPSE_OA_DENSE_CAP
 
+    def adapt_ready(self) -> bool:
+        """False while the background aux build is still running: the
+        engine skips that tick's adapt_step (sampling continues) rather
+        than blocking on the compile — and the candidate guard above is
+        undecided until the build picks a tier."""
+        th = self._aux_thread
+        return th is None or not th.is_alive()
+
     # ---- capacity / lifecycle -------------------------------------------
     def _build_aux(self) -> ChainGroup:
+        aux = None
+        spec = wide_aux_spec(self.base)
+        if spec is not None:
+            # WIDE tier: full-width Pallas collapse slots (see
+            # wide_aux_spec).  Collapsed variants then sample their
+            # better-mixing marginalized dynamics at e9 rates instead of
+            # trailing the ensemble from a narrow XLA group.
+            from grample_tpu.ops.gibbs_pallas import PAL_OA_MAX
+
+            aux = ChainGroup(
+                self.base,
+                chains_per_variant=self.cpv,
+                converge_window=self.cw,
+                seed=self.seed + 104729,
+                caps=spec,
+                max_variants=min(self._max_variants, AUX_MAX_VARIANTS),
+                rb_mixture=self.rb_mixture,
+                pallas_oa_limit=PAL_OA_MAX,
+            )
+            self.aux_cpv = self.cpv
+            self._aux_oa_cap = PAL_AUX_OA_LIM
+        if aux is None:
+            return self._build_aux_legacy()
+        # pre-size 8 slots: the chunked advance compiles per chunk
+        # shape (min(CHUNK_SLOTS, slot_cap)), so lazy pow2 growth
+        # from 1 would compile chunk widths 1, 2, 4, 8 — four pairs
+        # of programs on the budget clock.
+        aux.reserve(8)
+        return aux
+
+    def _build_aux_legacy(self) -> ChainGroup:
         aux = aux_group_factory(
             self._max_variants, self.rb_mixture
         )(
@@ -230,11 +357,7 @@ class SplitChainGroup:
             converge_window=self.cw,
             seed=self.seed + 104729,
         )
-        # pre-size 8 slots: the chunked advance compiles per chunk
-        # shape (min(CHUNK_SLOTS, slot_cap)), so lazy pow2 growth
-        # from 1 would compile chunk widths 1, 2, 4, 8 — four pairs
-        # of programs on the budget clock.  Aux slots are narrow
-        # (AUX_CHAINS wide), so the eager restack uploads little.
+        self._aux_oa_cap = aux.caps.oa_dense_cap
         aux.reserve(8)
         return aux
 
@@ -258,6 +381,15 @@ class SplitChainGroup:
             try:
                 aux = self._build_aux()
                 aux.warmup()
+                if aux.cpv > AUX_CHAINS and not aux.use_pallas:
+                    # the wide tier only pays on the Pallas kernel: if
+                    # the runtime compile rejected it (warmup fell back
+                    # to XLA at full width — 60 s windows), discard and
+                    # build the legacy narrow group instead
+                    self._aux_oa_cap = None
+                    self.aux_cpv = min(AUX_CHAINS, self.cpv)
+                    aux = self._build_aux_legacy()
+                    aux.warmup()
                 self._aux_prebuilt = aux
             except Exception:
                 # creation retries synchronously in _ensure_aux; the
@@ -267,6 +399,15 @@ class SplitChainGroup:
         self._aux_prebuilt = None
         self._aux_thread = threading.Thread(target=work, daemon=True)
         self._aux_thread.start()
+
+    def join_prewarm(self) -> None:
+        """Wait out a still-running prewarm thread WITHOUT adopting the
+        group.  Engines call this before returning: a daemon thread
+        killed mid-XLA-compile at interpreter exit aborts the process
+        ("FATAL: exception not rethrown")."""
+        th = getattr(self, "_aux_thread", None)
+        if th is not None:
+            th.join()
 
     def _ensure_aux(self) -> ChainGroup:
         if self.aux is None:
@@ -384,9 +525,18 @@ class SplitChainGroup:
             return 0
         import time
 
+        sweeps = min(self.cw, self._aux_sweeps)
         t0 = time.time()
-        taken = self.aux.advance(min(self.cw, AUX_TICK_SWEEPS), defer=False)
-        self.aux_secs += time.time() - t0
+        taken = self.aux.advance(sweeps, defer=False)
+        dt = time.time() - t0
+        self.aux_secs += dt
+        # re-size the next aux advance to the tick budget from the
+        # measured rate: a wide Pallas aux covers a full window in ~3 s,
+        # the legacy XLA aux stays at the AUX_TICK_SWEEPS floor
+        rate = sweeps / max(dt, 1e-6)
+        self._aux_sweeps = max(
+            AUX_TICK_SWEEPS, min(self.cw, int(AUX_TICK_BUDGET_SECS * rate))
+        )
         return taken
 
     def flush(self) -> None:

@@ -93,6 +93,8 @@ def run_one(res_dir: str, net: str, mode: str, secs: float, vchains: int,
         "variants": res.variants,
         "collapsed": len(res.collapsed),
         "aux_secs": round(res.aux_secs, 1),
+        "budget": budget,
+        "pallas": res.pallas,
         "mean_hellinger": round(float(res.final_score.mean_hellinger), 6),
         "max_hellinger": round(float(res.final_score.max_hellinger), 6),
         "mean_js": round(float(res.final_score.mean_js), 6),
