@@ -70,6 +70,28 @@ AUX_TICK_BUDGET_SECS = 3.0
 PAL_AUX_OA_LIM = 32
 
 
+def _spec_cache_file(base_model: DiscreteModel) -> str:
+    """On-disk cache key for wide_aux_spec: the pooled caps are a
+    deterministic function of the model structure + evidence + pool
+    limit, and measuring them costs ~30 s on Promedus-class nets (600
+    host collapses + union caps + probe encodings) — too slow to pay in
+    every subprocess of an acceptance suite."""
+    import hashlib
+    import os
+
+    h = hashlib.sha1()
+    h.update(np.asarray(base_model.cards).tobytes())
+    h.update(np.asarray(base_model.fixed).tobytes())
+    for f in base_model.factors:
+        h.update(np.asarray(f.scope, dtype=np.int64).tobytes())
+    h.update(f"|{PAL_AUX_OA_LIM}|v1".encode())
+    d = os.path.join(
+        os.path.expanduser("~"), ".cache", "grample_tpu", "auxspec"
+    )
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, h.hexdigest()[:24] + ".json")
+
+
 def wide_aux_spec(base_model: DiscreteModel):
     """Exact pooled caps for a FULL-WIDTH Pallas aux group, or None.
 
@@ -87,35 +109,75 @@ def wide_aux_spec(base_model: DiscreteModel):
 
     if jax.default_backend() != "tpu":
         return None
-    import numpy as np
+    import dataclasses
+    import json
 
     from grample_tpu.ops.gibbs_pallas import (
         PAL_OA_MAX,
         pal_bank_dims,
         pallas_eligible,
     )
-    from grample_tpu.pgm.encode import caps_for_variants, encode_model
+    from grample_tpu.pgm.encode import (
+        EncodeCaps,
+        caps_for_variants,
+        encode_model,
+    )
     from grample_tpu.sampler.collapse import collapse_var, is_collapsible
 
-    blankets = base_model.blankets()
-    variants = []
-    for v in range(base_model.num_vars):
-        if is_collapsible(
-            base_model, v, blankets[v], oa_cap=PAL_AUX_OA_LIM
-        ):
-            variants.append(collapse_var(base_model, v)[0])
-    if not variants:
-        return None
+    cache = _spec_cache_file(base_model)
     try:
+        with open(cache) as fh:
+            d = json.load(fh)
+        return None if d["caps"] is None else EncodeCaps(**d["caps"])
+    except Exception:
+        pass
+
+    def store(caps):
+        try:
+            with open(cache, "w") as fh:
+                json.dump(
+                    {"caps": None if caps is None
+                     else dataclasses.asdict(caps)}, fh,
+                )
+        except Exception:
+            pass
+        return caps
+
+    blankets = base_model.blankets()
+    cands = [
+        v for v in range(base_model.num_vars)
+        if is_collapsible(base_model, v, blankets[v], oa_cap=PAL_AUX_OA_LIM)
+    ]
+    if not cands:
+        return store(None)
+    try:
+        variants = [collapse_var(base_model, v)[0] for v in cands]
         caps = caps_for_variants(variants, slot_hint=8)
-        encs = [encode_model(mv, caps) for mv in variants]
+        # packed-bank rows measured over the WIDEST candidates only:
+        # encoding all ~600 Promedus candidates took longer than a 300 s
+        # run (the r5 prewarm thread never finished and adapt never
+        # fired).  The heaviest blankets dominate the bank dims; if a
+        # mid-pool variant still exceeds them at runtime the kernel
+        # rejects and the prewarm falls back to the legacy tier — a
+        # safe, visible failure mode.
+        by_width = sorted(
+            range(len(cands)),
+            key=lambda i: int(
+                np.prod(base_model.cards[
+                    [u for u in sorted(blankets[cands[i]]) if u != cands[i]]
+                ])
+            ),
+            reverse=True,
+        )
+        probe = [variants[i] for i in by_width[:48]]
+        encs = [encode_model(mv, caps) for mv in probe]
         g2, f2, g1, f1 = pal_bank_dims(encs)
         fg = g2 * f2 + g1 * f1
     except Exception:
-        return None
+        return store(None)
     if not pallas_eligible(caps, oa_limit=PAL_OA_MAX, fg=fg):
-        return None
-    return caps
+        return store(None)
+    return store(caps)
 
 
 def aux_caps(base_model: DiscreteModel):
