@@ -424,63 +424,39 @@ class SplitChainGroup:
         return aux
 
     def prewarm_aux(self) -> None:
-        """Build and compile the aux group in a background thread.
+        """Build and compile the aux group during engine startup.
 
         An adaptive run WILL create the aux group at its first adapt
         step, and doing it there costs ~40 s of budget clock on
         Promedus-class nets (caps probe + device alloc + both sweep
-        compiles, measured r5).  The chunked advance's shape is fixed by
-        ``reserve(8)`` (chunk = min(CHUNK_SLOTS, slot_cap)), so a
-        zero-variant ``warmup()`` compiles the exact programs every
-        later state uses — all of it off the critical path while the
-        main group burns in and samples."""
-        import threading
-
-        if self.aux is not None or getattr(self, "_aux_thread", None):
-            return
-
-        def work():
-            try:
-                aux = self._build_aux()
-                aux.warmup()
-                if aux.cpv > AUX_CHAINS and not aux.use_pallas:
-                    # the wide tier only pays on the Pallas kernel: if
-                    # the runtime compile rejected it (warmup fell back
-                    # to XLA at full width — 60 s windows), discard and
-                    # build the legacy narrow group instead
-                    self._aux_oa_cap = None
-                    self.aux_cpv = min(AUX_CHAINS, self.cpv)
-                    aux = self._build_aux_legacy()
-                    aux.warmup()
-                self._aux_prebuilt = aux
-            except Exception:
-                # creation retries synchronously in _ensure_aux; the
-                # prewarm is purely an optimization
-                self._aux_prebuilt = None
-
-        self._aux_prebuilt = None
-        self._aux_thread = threading.Thread(target=work, daemon=True)
-        self._aux_thread.start()
+        compiles, measured r5).  Doing it here keeps every adapt tick
+        cheap.  Synchronous by design: the tunneled TPU compile helper
+        serves ONE compilation at a time — a background-thread compile
+        racing the main loop's own compiles crashed it (HTTP 500) and
+        silently demoted the wide kernel to XLA (observed r5).  The
+        pooled-caps spec and the kernel executable are both disk-cached,
+        so warm processes pay ~20-30 s, first-ever runs the full
+        compile."""
+        self._ensure_aux()
 
     def join_prewarm(self) -> None:
-        """Wait out a still-running prewarm thread WITHOUT adopting the
-        group.  Engines call this before returning: a daemon thread
-        killed mid-XLA-compile at interpreter exit aborts the process
-        ("FATAL: exception not rethrown")."""
-        th = getattr(self, "_aux_thread", None)
-        if th is not None:
-            th.join()
+        """Kept for engine compatibility (the aux build is synchronous
+        now — nothing to wait for)."""
 
     def _ensure_aux(self) -> ChainGroup:
         if self.aux is None:
-            th = getattr(self, "_aux_thread", None)
-            if th is not None:
-                th.join()
-                self._aux_thread = None
-                self.aux = self._aux_prebuilt
-                self._aux_prebuilt = None
-            if self.aux is None:
-                self.aux = self._build_aux()
+            aux = self._build_aux()
+            aux.warmup()
+            if aux.cpv > AUX_CHAINS and not aux.use_pallas:
+                # the wide tier only pays on the Pallas kernel: if the
+                # runtime compile rejected it (warmup fell back to XLA
+                # at full width — 60 s windows), discard and build the
+                # legacy narrow group instead
+                self._aux_oa_cap = None
+                self.aux_cpv = min(AUX_CHAINS, self.cpv)
+                aux = self._build_aux_legacy()
+                aux.warmup()
+            self.aux = aux
         return self.aux
 
     def reserve(self, n_slots: int):
