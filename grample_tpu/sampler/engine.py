@@ -35,6 +35,13 @@ from grample_tpu.uai import load_model, read_mar_file
 #: is quiet, balancing dispatch overhead against adaptation granularity.
 TICK_WORK_SECS = 30.0
 
+#: Tick budget while adaptation is live: shorter ticks mean more adapt
+#: rounds inside the half-budget adapt window (the reference adapts at
+#: its ~5 s scoring cadence, cmd/root.go:498-547; 30 s ticks gave a
+#: 300 s wall run only 2-3 rounds and the worst-PSRF ranking never
+#: reached past the first few clusters)
+ADAPT_TICK_WORK_SECS = 10.0
+
 
 @dataclasses.dataclass
 class EngineConfig:
@@ -316,7 +323,8 @@ class Engine:
                 # run — while Promedus-class runs ticked every 10 s and
                 # paid the aux+adapt overhead 3x more often than needed)
                 budget = min(
-                    cfg.status_secs, TICK_WORK_SECS,
+                    cfg.status_secs,
+                    ADAPT_TICK_WORK_SECS if keep_adapting else TICK_WORK_SECS,
                     max(stop_time - time.time(), 0.25),
                 )
                 nwin = max(1, min(1024, int(budget / max(win_time, 1e-4))))

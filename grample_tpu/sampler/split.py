@@ -63,11 +63,15 @@ AUX_TICK_SWEEPS = 64
 #: wall seconds of aux advance per engine tick the split group aims for
 AUX_TICK_BUDGET_SECS = 3.0
 
-#: conditioning-set outcome bound for the WIDE aux pool: candidates with
-#: prod(cards[blanket minus var]) above this are not adaptively
-#: collapsible when the wide tier is active (the kernel's select chain
-#: stays cheap and the pooled caps stay VMEM-eligible)
-PAL_AUX_OA_LIM = 32
+#: incidence-outcome bound for the WIDE aux pool: candidates whose
+#: replacement factor has a per-variable incidence above this are not
+#: adaptively collapsible when the wide tier is active.  8 keeps the
+#: kernel's table-lookup select chain in the fully-unrolled fast region
+#: AND its Mosaic compile ~40 s (at 32 the compile took 130-290 s and
+#: is not reliably served by the persistent cache over the tunnel —
+#: r5: it ate entire 300 s wall budgets).  On Promedus_19 the OA-8 pool
+#: still holds 594 of 616 candidates including the whole worst cluster.
+PAL_AUX_OA_LIM = 8
 
 
 def _spec_cache_file(base_model: DiscreteModel) -> str:
