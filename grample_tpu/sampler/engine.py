@@ -263,14 +263,15 @@ class Engine:
                 else [mv for _, mv in prebuilt]
             )
             group.warmup()  # wall mode: warmup runs ON the clock
-            t_clock = t_start if cfg.budget == "wall" else time.time()
             if cfg.sampler == "adaptive" and hasattr(group, "prewarm_aux"):
-                # background aux build+compile overlaps burn-in and early
-                # sampling.  Strictly AFTER the main warmup: concurrent
-                # Pallas compiles crash the tunneled compile helper
-                # (HTTP 500, observed r5), demoting whichever kernel
-                # loses the race to XLA for the whole run.
+                # synchronous aux build+compile, strictly AFTER the main
+                # warmup (concurrent Pallas compiles crash the tunneled
+                # compile helper — HTTP 500, observed r5) and BEFORE the
+                # sampling-budget clock anchors: it is compile work, the
+                # class of cost that budget excludes (wall mode anchors
+                # at t_start, so there it stays on the clock either way)
                 group.prewarm_aux()
+            t_clock = t_start if cfg.budget == "wall" else time.time()
             if cfg.anneal_stages > 0:
                 group.burn_annealed(burn_sweeps, cfg.anneal_stages)
             else:
