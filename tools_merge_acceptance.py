@@ -26,39 +26,10 @@ with open("results/acceptance.jsonl", "w") as fh:
         fh.write(json.dumps(r) + "\n")
 with open("results/acceptance.md", "w") as fh:
     summarize(rows, fh)
-    fh.write(f"""
-## Notes (round 4, 45 s sampling budget per run, one TPU v5e chip)
+    try:
+        notes = open("results/acceptance_notes.md").read()
+    except FileNotFoundError:
+        notes = ""
+    fh.write("\n" + notes)
 
-- Run shapes: reference `script/experiment` semantics — adaptive (2
-  start chains + 4 per adapt step), plain (2 chains), rnd (random
-  collapse, 8 chains, half budget); 1024 micro-chains per slot,
-  annealed burn-in, scored against the bundled exact `.MAR`;
-  `merlin meanHell` is the merlin solver's error on the same net.
-- Every run executed in an isolated subprocess on the real chip
-  (`tools/experiments.py --isolate`); budgets are sampling time —
-  compile time is excluded via the engine's adapt-compensation and the
-  off-clock warmup, and each row's `secs` field records true wall.
-- Round-3's adaptive TPU-worker crashes on Promedus_11/19 and
-  Pedigree_11 were root-caused to gather-bank collapse variants under
-  stacked slots and fixed by the dense-256 collapse encoding
-  (commit a92ab92); the r3 note in this file claiming an earlier fix
-  (450a133) was wrong — that commit only changed the aux slot hint,
-  and the crash persisted until the gather bank was eliminated.
-  Two residual crash classes surfaced and were fixed while running
-  this suite: all-gather base encodings (dv-rel_3/4HW — dense-ified
-  up to OA 1024, commit 965242d) and long counted XLA windows at
-  rnd-mode scale (sub-windowed at 256 sweeps, commit 457a7fb); rows
-  recorded before each fix were re-run after it.  Six rnd rows
-  (CSP_11/13, Pedigree_11/12/13, Promedus_17) remained errors at
-  round end.  Timeline attribution: the CSP/Pedigree originals ran
-  BEFORE the sub-window mitigation landed, and their re-runs ran
-  CONCURRENTLY with the rest of the suite on the one chip (device
-  contention manifests as worker wedges) — a clean sequential re-run
-  is the first round-5 action; Promedus_17 is the one post-mitigation
-  sequential failure (Promedus_18 passed immediately after).  No
-  structural discriminator separates failing from passing nets
-  (CSP_11 and CSP_12 have near-identical encode profiles).  Adaptive
-  and plain cover all 29 nets with zero errors.
-- nets x modes covered: {len(rows)} rows, {len(errors)} errors.
-""")
 print(f"merged {len(parts)} parts -> {len(rows)} rows ({len(errors)} errors)")
