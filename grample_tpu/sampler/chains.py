@@ -71,6 +71,19 @@ CHUNK_SLOTS = 8
 #: mixture has at least a couple of decorrelated snapshots.
 RB_MIN_SNAPSHOTS = 2
 
+#: Per-snapshot decay of the RB mixture's running sums (both the
+#: snapshot-probability sum and its weight decay by this factor before
+#: each new snapshot lands).  On quasi-deterministic nets the chain
+#: ensemble DRIFTS toward the true mode weights for the whole run
+#: (Promedus_19's stuck clusters, Grids_13 — see
+#: results/grids13_drift.md), so an equal-weight mixture average lags
+#: the live ensemble exactly like the raw cumulative counts do; the
+#: decayed mixture tracks the current — strictly better — ensemble
+#: state at a small variance cost (effective window ≈ 1/(1-γ) ≈ 6-7
+#: snapshots, each averaging the group's full chain width).  γ = 1
+#: would restore the equal-weight average.
+RB_DECAY = 0.85
+
 #: Counted XLA windows run in sub-windows of at most this many sweeps.
 #: Long counted fori_loops on the XLA sweep have intermittently crashed
 #: the TPU worker at scale (r4: rnd-mode 2000-sweep counted windows on
@@ -197,7 +210,8 @@ class ChainGroup:
         self.rb_mixture = bool(rb_mixture)
         self._rb_cond: dict = {}
         self._rb_sum: dict = {}
-        self._rb_n: dict = {}
+        self._rb_n: dict = {}  # decayed effective-snapshot weight (float)
+        self._rb_count: dict = {}  # undecayed snapshot count (gate)
         # plain-slot donor snapshots, keyed by var: base-model chains
         # (full width, fast path) also sample every collapsed var's
         # blanket, so averaging the exact base conditional over THEIR
@@ -829,13 +843,22 @@ class ChainGroup:
         probs = self._rb_snapshot(self.state, own + donors)
         for key, pr in zip(own, probs[: len(own)]):
             if key in self._rb_sum:
-                self._rb_sum[key] += pr
-                self._rb_n[key] += 1
+                self._rb_sum[key] = self._rb_sum[key] * RB_DECAY + pr
+                self._rb_n[key] = self._rb_n[key] * RB_DECAY + 1.0
+                self._rb_count[key] += 1
             else:
                 self._rb_sum[key] = pr
-                self._rb_n[key] = 1
+                self._rb_n[key] = 1.0
+                self._rb_count[key] = 1
+        per_var: dict = {}
         for (_p, var), pr in zip(donors, probs[len(own):]):
-            self._rbp_accum(var, pr, self.cpv)
+            per_var.setdefault(var, []).append(pr)
+        for var, prs in per_var.items():
+            # same-tick donor snapshots combine at equal weight; the
+            # decay applies once per tick, not between sibling slots
+            self._rbp_accum(
+                var, np.mean(prs, axis=0), self.cpv * len(prs)
+            )
 
     def rb_accumulate_external(self, states, chains_per_slot: int,
                                n_slots: int = 1) -> None:
@@ -850,13 +873,18 @@ class ChainGroup:
         pairs = [(s, int(cv)) for cv in col_vars for s in range(n_slots)]
         if not pairs:
             return
+        per_var: dict = {}
         for (_s, var), pr in zip(pairs, self._rb_snapshot(states, pairs)):
-            self._rbp_accum(var, pr, chains_per_slot)
+            per_var.setdefault(var, []).append(pr)
+        for var, prs in per_var.items():
+            self._rbp_accum(
+                var, np.mean(prs, axis=0), chains_per_slot * len(prs)
+            )
 
     def _rbp_accum(self, var: int, probs: np.ndarray, weight: float):
         if var in self._rbp_sum:
-            self._rbp_sum[var] += probs * weight
-            self._rbp_w[var] += weight
+            self._rbp_sum[var] = self._rbp_sum[var] * RB_DECAY + probs * weight
+            self._rbp_w[var] = self._rbp_w[var] * RB_DECAY + weight
             self._rbp_snaps[var] += 1
         else:
             self._rbp_sum[var] = probs * weight
@@ -938,17 +966,19 @@ class ChainGroup:
             for var in np.nonzero(mv.collapsed[:v] & ~seen)[0]:
                 merged[var] = 0.0
                 var_i = int(var)
-                nrb = self._rb_n.get((slot, var_i), 0)
+                cnt = self._rb_count.get((slot, var_i), 0)
                 psn = self._rbp_snaps.get(var_i, 0)
-                have_own = self.rb_mixture and nrb >= RB_MIN_SNAPSHOTS
+                have_own = self.rb_mixture and cnt >= RB_MIN_SNAPSHOTS
                 have_plain = self.rb_mixture and psn >= RB_MIN_SNAPSHOTS
                 if have_own or have_plain:
                     # chain-count-weighted blend of the variant's own
-                    # snapshots and the plain-slot donor snapshots —
-                    # both converge to the true marginal; the weights
-                    # let the statistically heavier source dominate
+                    # (decayed) snapshot average and the plain-slot
+                    # donor average — both converge to the true
+                    # marginal; the weights let the statistically
+                    # heavier source dominate
                     num, den = 0.0, 0.0
                     if have_own:
+                        nrb = self._rb_n[(slot, var_i)]
                         w = nrb * self.cpv
                         num = self._rb_sum[(slot, var_i)] / nrb * w
                         den = w

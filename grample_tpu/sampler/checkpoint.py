@@ -116,7 +116,10 @@ def _save_one(path: str, group: ChainGroup, cfg=None, runtime: float = 0.0,
             sums[i, : group._rb_sum[k].size] = group._rb_sum[k]
         arrays["rb_sums"] = sums
         arrays["rb_ns"] = np.array(
-            [group._rb_n[k] for k in rb_keys], dtype=np.int64
+            [group._rb_n[k] for k in rb_keys], dtype=np.float64
+        )
+        arrays["rb_counts"] = np.array(
+            [group._rb_count.get(k, 0) for k in rb_keys], dtype=np.int64
         )
     # plain-slot donor sums (chain-count weighted, keyed by var)
     rbp_keys = sorted(group._rbp_sum)
@@ -237,12 +240,17 @@ def _load_one(
     group.total_samples = meta["total_samples"]
     group.total_sweeps = meta["total_sweeps"]
     if "rb_keys" in data:
-        for (slot, var), s, cnt in zip(
-            data["rb_keys"], data["rb_sums"], data["rb_ns"]
+        counts = (
+            data["rb_counts"] if "rb_counts" in data
+            else np.rint(np.asarray(data["rb_ns"]))  # pre-decay snapshots
+        )
+        for (slot, var), s, w, cnt in zip(
+            data["rb_keys"], data["rb_sums"], data["rb_ns"], counts
         ):
             card = int(base_model.cards[int(var)])
             group._rb_sum[(int(slot), int(var))] = np.array(s[:card])
-            group._rb_n[(int(slot), int(var))] = int(cnt)
+            group._rb_n[(int(slot), int(var))] = float(w)
+            group._rb_count[(int(slot), int(var))] = int(cnt)
     if "rbp_vars" in data:
         for var, s, w, cnt in zip(
             data["rbp_vars"], data["rbp_sums"], data["rbp_ws"],

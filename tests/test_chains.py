@@ -187,7 +187,10 @@ def test_rb_plain_slot_donors(rng):
         g.advance(32)
         g.rb_accumulate()
     assert g._rbp_snaps.get(1) == 8
-    assert g._rbp_w[1] == 8 * g.cpv
+    from grample_tpu.sampler.chains import RB_DECAY
+
+    decayed = g.cpv * (1 - RB_DECAY**8) / (1 - RB_DECAY)
+    np.testing.assert_allclose(g._rbp_w[1], decayed, rtol=1e-12)
     key = (1, 1)
     own_w = g._rb_n[key] * g.cpv
     want = (g._rb_sum[key] / g._rb_n[key] * own_w + g._rbp_sum[1]) / (
@@ -217,8 +220,12 @@ def test_split_rb_main_donors(rng):
     for _ in range(6):
         g.advance(16)
         g.rb_accumulate()
-    assert g.aux._rbp_snaps.get(2) == 12  # ticks x main slots
-    assert g.aux._rbp_w[2] == 6 * 2 * 128  # ticks x main slots x width
+    from grample_tpu.sampler.chains import RB_DECAY
+
+    # same-tick donor slots combine into ONE snapshot per tick
+    assert g.aux._rbp_snaps.get(2) == 6
+    decayed = 2 * 128 * (1 - RB_DECAY**6) / (1 - RB_DECAY)
+    np.testing.assert_allclose(g.aux._rbp_w[2], decayed, rtol=1e-12)
     est = g.merged_marginals()[2, :2]
     est = est / est.sum()
     assert np.abs(est - truth[2, :2]).max() < 0.05
@@ -264,6 +271,7 @@ def test_rb_state_checkpoint_roundtrip(rng, tmp_path):
     save_checkpoint(path, g)
     g2, _ = load_checkpoint(path, m)
     assert g2._rb_n == g._rb_n
+    assert g2._rb_count == g._rb_count
     for k in g._rb_sum:
         np.testing.assert_allclose(g2._rb_sum[k], g._rb_sum[k], rtol=1e-12)
     assert g2._rbp_snaps == g._rbp_snaps
